@@ -1,0 +1,1 @@
+from .march_jnp import MarchResult, march

@@ -40,12 +40,9 @@ class PerspectiveCamera:
         cp, sp = np.cos(pitch), np.sin(pitch)
         cr, sr = np.cos(roll), np.sin(roll)
 
-        # yaw about y, then pitch about x, then roll about z (column-major apply)
-        forward = _normalize(np.array([sy * cp, -sp, cy * cp]))
+        # yaw about y then pitch about the local x axis; positive pitch looks up
+        forward = _normalize(np.array([sy * cp, sp, cy * cp]))
         right0 = _normalize(np.array([cy, 0.0, -sy]))
-        up0 = np.cross(forward, right0)
-        up0 = _normalize(up0) * np.sign(np.dot(np.cross(right0, forward), up0) + 1e-9)
-        # re-orthogonalize: up = right x forward for a right-handed frame
         up0 = _normalize(np.cross(right0, forward))
         right = right0 * cr + up0 * sr
         up = -right0 * sr + up0 * cr

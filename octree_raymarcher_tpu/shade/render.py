@@ -1,0 +1,238 @@
+"""The forward render pass: march + Blinn-Phong shade + shadow + depth AOVs.
+
+Capability parity with the reference frame (SURVEY.md §3.2): the main pass
+(shaders/World.Fragment.glsl) marches the eye rays, computes hit normal,
+face UV, optional atlas texture color, three-light Blinn-Phong with a shadow
+factor, inverse-depth z, and a sky color for misses; the shadow pass
+(shaders/ShadowmapWorld.*) renders an inverse-depth map from the
+directional light which the main pass projects against.  Two shadow modes:
+
+  * ``"map"``  — projective shadow map, like the reference;
+  * ``"ray"``  — a second march from each hit toward the light (a
+    raymarcher-native hard shadow, no projection aliasing);
+  * ``"none"``.
+
+Everything after the march is differentiable with respect to lights,
+materials, and atlas texels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.constants import EPS, FAR, NEAR
+from ..core.geometry import cube_normal, cube_uv, inverse_depth
+from ..ops.march_jnp import march
+from ..world.device import DeviceWorld
+from .lights import LightRig
+from .materials import MaterialTable
+from .transforms import look_at, ortho
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    shadow: str = "none"            # "none" | "ray" | "map"
+    max_steps: int = 512
+    sky: tuple = (0.45, 0.65, 0.95)
+    gamma: float = 2.2              # atlas decode gamma
+    shadow_bias: float = 1e-3
+
+
+def shade_hits(
+    res,
+    origins,
+    dirs,
+    eye,
+    lights: LightRig,
+    materials: MaterialTable,
+    cfg: RenderConfig,
+    shadow_factor=None,
+    atlas=None,
+):
+    """Shade a MarchResult into RGB + AOVs. Differentiable w.r.t. lights,
+    materials, atlas."""
+    a = jnp.asarray(origins, dtype=jnp.float32)
+    b = jnp.asarray(dirs, dtype=jnp.float32)
+    t_hit = jnp.where(res.hit, res.t, jnp.float32(0.0))
+    p = a + b * (t_hit - jnp.float32(EPS))[:, None]
+
+    cmin = res.cell_bmin
+    cmax = cmin + res.cell_size[:, None]
+    n = cube_normal(p, cmin, cmax)
+
+    ambient, diffuse, specular, shininess = materials.lookup(res.material)
+
+    if atlas is not None:
+        # Material-indexed tile texture: atlas f32[M, R, R, 3], nearest
+        # sampled by face UV (TPU-native analog of the reference's 256-tile
+        # PNG atlas, World.Fragment.glsl:5-15).
+        uv = cube_uv(p, cmin, cmax)
+        r = atlas.shape[1]
+        ui = jnp.clip((uv[:, 0] * r).astype(jnp.int32), 0, r - 1)
+        vi = jnp.clip((uv[:, 1] * r).astype(jnp.int32), 0, r - 1)
+        mi = jnp.clip(res.material, 0, atlas.shape[0] - 1)
+        tex = atlas[mi, vi, ui]
+        tex = jnp.power(jnp.maximum(tex, 1e-6), cfg.gamma)
+        diffuse = diffuse * tex
+        specular = specular * tex
+
+    shadow = (
+        jnp.zeros(p.shape[0], dtype=jnp.float32)
+        if shadow_factor is None
+        else shadow_factor
+    )
+    eye_v = jnp.asarray(eye, dtype=jnp.float32)
+    rgb = lights.shade(n, p, eye_v, diffuse, specular, shininess, shadow)
+
+    sky = jnp.asarray(cfg.sky, dtype=jnp.float32)
+    hit3 = res.hit[:, None]
+    rgb = jnp.where(hit3, rgb, sky)
+
+    dist = jnp.linalg.norm(p - eye_v, axis=-1)
+    depth = jnp.where(res.hit, inverse_depth(dist), jnp.float32(1.0))
+    return {
+        "rgb": rgb,
+        "depth": depth,
+        "hit": res.hit,
+        "material": res.material,
+        "steps": res.steps,
+        "point": p,
+        "normal": n,
+    }
+
+
+def ray_shadow(world: DeviceWorld, res, points, normals, lights: LightRig, cfg):
+    """Hard shadow by marching from each hit toward the directional light."""
+    ldir = -lights.directional.direction
+    ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir), 1e-12)
+    start = points + normals * jnp.float32(4 * EPS)
+    sres = march(world, start, jnp.broadcast_to(ldir, start.shape), cfg.max_steps)
+    return (res.hit & sres.hit).astype(jnp.float32)
+
+
+def render_shadowmap(
+    world: DeviceWorld, lights: LightRig, resolution=(512, 512), margin: float = 1.1
+):
+    """Depth-from-the-light pass (reference Main.cpp:190-198): ortho camera at
+    the directional light over the world bounds, storing inverse distance to
+    the light position.  Returns (depth f32[H,W], light_vp f32[4,4])."""
+    w, h, d = world.dims
+    cs = world.chunksize
+    lo = np.asarray(world.chunkcoordmin) * cs
+    extent = np.array([w, h, d], dtype=np.float64) * cs
+    center = lo + extent * 0.5
+    radius = float(np.linalg.norm(extent) * 0.5 * margin)
+
+    lpos = np.asarray(lights.directional.position, dtype=np.float64)
+    ldir = np.asarray(lights.directional.direction, dtype=np.float64)
+    ldir = ldir / np.linalg.norm(ldir)
+
+    # Ortho ray bundle along the light direction, centered on the world:
+    # the emitter plane sits behind the world so every ray crosses it.
+    plane_center = center - ldir * (2.0 * radius)
+    up = np.array([0.0, 1.0, 0.0])
+    if abs(np.dot(ldir, up)) > 0.99:
+        up = np.array([0.0, 0.0, 1.0])
+    view = look_at(plane_center, center, up)
+    proj = ortho(-radius, radius, -radius, radius, 0.0, 8 * radius)
+    vp = (proj.astype(np.float64) @ view.astype(np.float64)).astype(np.float32)
+
+    H, W = resolution
+    right = np.cross(ldir, up)
+    right /= np.linalg.norm(right)
+    upv = np.cross(right, ldir)
+    xs = ((np.arange(W) + 0.5) / W - 0.5) * 2 * radius
+    ys = (0.5 - (np.arange(H) + 0.5) / H) * 2 * radius
+    xx, yy = np.meshgrid(xs, ys)
+    origins = (
+        plane_center[None, None]
+        + xx[..., None] * right[None, None]
+        + yy[..., None] * upv[None, None]
+    ).reshape(-1, 3).astype(np.float32)
+    dirs = np.broadcast_to(ldir, origins.shape).astype(np.float32).copy()
+
+    res = march(world, jnp.asarray(origins), jnp.asarray(dirs))
+    p = jnp.asarray(origins) + jnp.asarray(dirs) * jnp.where(
+        res.hit, res.t, jnp.float32(FAR)
+    )[:, None]
+    dist = jnp.linalg.norm(p - jnp.asarray(lpos, dtype=jnp.float32), axis=-1)
+    depth = jnp.where(res.hit, inverse_depth(dist), jnp.float32(1.0))
+    return depth.reshape(H, W), vp
+
+
+def map_shadow(points, shadow_depth, light_vp, light_pos, bias: float = 1e-3):
+    """Project hit points into the light and compare inverse depths
+    (reference computeShadow, World.Fragment.glsl:140-155)."""
+    H, W = shadow_depth.shape
+    vp = jnp.asarray(light_vp)
+    ph = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1)
+    clip = ph @ vp.T
+    ndc = clip[:, :3] / jnp.maximum(jnp.abs(clip[:, 3:4]), 1e-12) * jnp.sign(
+        clip[:, 3:4]
+    )
+    uv = ndc[:, :2] * 0.5 + 0.5
+    xi = jnp.clip((uv[:, 0] * W).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(((1.0 - uv[:, 1]) * H).astype(jnp.int32), 0, H - 1)
+    pixel_depth = shadow_depth[yi, xi]
+
+    dist = jnp.linalg.norm(points - jnp.asarray(light_pos, dtype=jnp.float32), axis=-1)
+    point_depth = inverse_depth(dist)
+    inside = jnp.all((uv >= 0.0) & (uv <= 1.0), axis=-1)
+    return (inside & (point_depth > pixel_depth + bias)).astype(jnp.float32)
+
+
+def render(
+    world: DeviceWorld,
+    origins,
+    dirs,
+    eye,
+    lights: LightRig | None = None,
+    materials: MaterialTable | None = None,
+    cfg: RenderConfig = RenderConfig(),
+    atlas=None,
+    shadowmap=None,
+):
+    """Full forward pass over a ray batch. Returns dict of AOVs (rgb, depth,
+    hit, material, steps, point, normal)."""
+    lights = LightRig.default() if lights is None else lights
+    materials = MaterialTable.default() if materials is None else materials
+
+    res = march(world, origins, dirs, cfg.max_steps)
+
+    shadow_factor = None
+    if cfg.shadow == "ray":
+        a = jnp.asarray(origins, dtype=jnp.float32)
+        b = jnp.asarray(dirs, dtype=jnp.float32)
+        t_hit = jnp.where(res.hit, res.t, jnp.float32(0.0))
+        p = a + b * (t_hit - jnp.float32(EPS))[:, None]
+        n = cube_normal(p, res.cell_bmin, res.cell_bmin + res.cell_size[:, None])
+        shadow_factor = ray_shadow(world, res, p, n, lights, cfg)
+    elif cfg.shadow == "map":
+        if shadowmap is None:
+            shadowmap = render_shadowmap(world, lights)
+        depth_map, vp = shadowmap
+        a = jnp.asarray(origins, dtype=jnp.float32)
+        b = jnp.asarray(dirs, dtype=jnp.float32)
+        t_hit = jnp.where(res.hit, res.t, jnp.float32(0.0))
+        p = a + b * (t_hit - jnp.float32(EPS))[:, None]
+        shadow_factor = map_shadow(
+            p, depth_map, vp, lights.directional.position, cfg.shadow_bias
+        ) * res.hit.astype(jnp.float32)
+
+    return shade_hits(
+        res, origins, dirs, eye, lights, materials, cfg, shadow_factor, atlas
+    )
+
+
+__all__ = [
+    "RenderConfig",
+    "render",
+    "render_shadowmap",
+    "map_shadow",
+    "ray_shadow",
+    "shade_hits",
+]

@@ -1,0 +1,1 @@
+from .device import DeviceWorld, pack_chunks, single_chunk_world

@@ -1,0 +1,119 @@
+"""End-to-end forward render tests: world -> rays -> march -> shade."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from octree_raymarcher_tpu.shade import (
+    LightRig,
+    MaterialTable,
+    OrthoCamera,
+    PerspectiveCamera,
+    RenderConfig,
+    render,
+    render_shadowmap,
+)
+from octree_raymarcher_tpu.world import single_chunk_world
+from octree_raymarcher_tpu.worldgen import BoundsPyramid, grow
+
+
+@pytest.fixture(scope="module")
+def dworld():
+    pyr = BoundsPyramid.generate(
+        size=64, amplitude=16.0, period=1.0 / 64, xshift=0.0, yshift=24.0,
+        zshift=0.0, seed=5,
+    )
+    chunk = grow([0.0, 0.0, 0.0], 64.0, depth=6, pyr=pyr)
+    return single_chunk_world(chunk)
+
+
+@pytest.fixture(scope="module")
+def cam_rays():
+    cam = PerspectiveCamera(
+        position=(32.0, 45.0, -20.0), pitch_deg=-30.0, fov_deg=70.0,
+        width=48, height=32,
+    )
+    return cam.rays(), cam.position
+
+
+def test_render_basic(dworld, cam_rays):
+    (origins, dirs), eye = cam_rays
+    out = render(dworld, origins, dirs, eye)
+    rgb = np.asarray(out["rgb"])
+    assert rgb.shape == (48 * 32, 3)
+    assert np.isfinite(rgb).all()
+    hit = np.asarray(out["hit"])
+    assert hit.any() and not hit.all()  # terrain visible + sky visible
+    # sky pixels are the sky color
+    sky = np.asarray(RenderConfig().sky, dtype=np.float32)
+    np.testing.assert_allclose(rgb[~hit], np.tile(sky, (int((~hit).sum()), 1)), atol=1e-6)
+    # hit pixels vary (lighting + materials)
+    assert rgb[hit].std() > 0.01
+    depth = np.asarray(out["depth"])
+    assert (depth[~hit] == 1.0).all()
+    assert (depth[hit] < 1.0).all()
+
+
+def test_render_jit_and_grad_wrt_lights(dworld, cam_rays):
+    (origins, dirs), eye = cam_rays
+    lights = LightRig.default()
+    mats = MaterialTable.default()
+
+    @jax.jit
+    def loss_fn(lights, mats):
+        out = render(dworld, origins, dirs, eye, lights, mats)
+        return jnp.mean(out["rgb"] ** 2)
+
+    val = loss_fn(lights, mats)
+    assert np.isfinite(float(val))
+    g = jax.grad(lambda lt: loss_fn(lt, mats))(lights)
+    # gradient flows to light parameters
+    gd = np.asarray(g.directional.diffuse)
+    assert np.isfinite(gd).all() and np.abs(gd).sum() > 0
+    gm = jax.grad(lambda m: loss_fn(lights, m))(mats)
+    assert np.abs(np.asarray(gm.diffuse)).sum() > 0
+
+
+def test_ray_shadow_darkens(dworld, cam_rays):
+    (origins, dirs), eye = cam_rays
+    out_ns = render(dworld, origins, dirs, eye, cfg=RenderConfig(shadow="none"))
+    out_rs = render(dworld, origins, dirs, eye, cfg=RenderConfig(shadow="ray"))
+    hit = np.asarray(out_ns["hit"])
+    lum_ns = np.asarray(out_ns["rgb"])[hit].mean()
+    lum_rs = np.asarray(out_rs["rgb"])[hit].mean()
+    assert lum_rs <= lum_ns + 1e-6
+
+
+def test_map_shadow_runs(dworld, cam_rays):
+    (origins, dirs), eye = cam_rays
+    sm = render_shadowmap(dworld, LightRig.default(), resolution=(128, 128))
+    depth = np.asarray(sm[0])
+    assert depth.shape == (128, 128)
+    assert (depth < 1.0).any()  # the light sees the terrain
+    out = render(
+        dworld, origins, dirs, eye, cfg=RenderConfig(shadow="map"), shadowmap=sm
+    )
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_atlas_textures(dworld, cam_rays):
+    (origins, dirs), eye = cam_rays
+    rngk = np.random.default_rng(0)
+    atlas = jnp.asarray(rngk.uniform(0.2, 1.0, size=(8, 8, 8, 3)).astype(np.float32))
+    out_plain = render(dworld, origins, dirs, eye)
+    out_tex = render(dworld, origins, dirs, eye, atlas=atlas)
+    hit = np.asarray(out_plain["hit"])
+    # textured render differs from flat-color render on hit pixels
+    diff = np.abs(np.asarray(out_tex["rgb"]) - np.asarray(out_plain["rgb"]))[hit]
+    assert diff.mean() > 1e-4
+
+
+def test_ortho_camera_render(dworld):
+    cam = OrthoCamera(
+        position=(32.0, 80.0, 32.0), direction=(0, -1, 0), up=(0, 0, 1),
+        width=63.0, height=63.0, xres=32, yres=32,
+    )
+    origins, dirs = cam.rays()
+    out = render(dworld, origins, dirs, cam.position)
+    assert np.asarray(out["hit"]).mean() > 0.9  # top-down view sees terrain
