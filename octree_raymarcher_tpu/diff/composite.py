@@ -1,0 +1,126 @@
+"""Soft voxel compositing: the differentiable half of the renderer.
+
+Alpha-composites the segments recorded by diff/segments.py under per-voxel
+density + albedo parameters:
+
+    sigma_i = softplus(density_raw[slot_i])
+    alpha_i = 1 - exp(-sigma_i * (t1_i - t0_i))
+    w_i     = alpha_i * prod_{j<i} (1 - alpha_j)
+    rgb     = sum_i w_i * sigmoid(albedo_raw[slot_i]) + T_end * sky
+    depth   = sum_i w_i * midpoint_i  (+ T_end * far)
+
+Pure jnp over static-shape arrays — reverse-mode differentiable end to end;
+pixel gradients flow to every voxel the ray crossed.  This generalizes the
+binary hit of the reference renderer (and is the live version of its dead
+translucency compositor, ParallaxAlpha.Fragment.glsl:233-353).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .segments import SegmentBatch
+
+
+@struct.dataclass
+class VoxelParams:
+    density_raw: Any   # f32[P]    softplus -> density
+    albedo_raw: Any    # f32[P,3]  sigmoid -> color
+
+    @property
+    def num_slots(self) -> int:
+        return self.density_raw.shape[0]
+
+
+def init_params_from_world(
+    world,
+    materials=None,
+    solid_density: float = 40.0,
+    num_materials: int = 8,
+) -> VoxelParams:
+    """Initialize params so the soft render approximates the hard render:
+    solid voxels opaque with their material's diffuse color, empty voxels
+    transparent."""
+    import numpy as np
+
+    from ..shade.materials import MaterialTable
+
+    materials = MaterialTable.default() if materials is None else materials
+    twig = np.asarray(world.twig)
+    P = twig.shape[0] + num_materials
+
+    mats = np.concatenate([twig, np.arange(num_materials, dtype=twig.dtype)])
+    solid = mats != 0
+
+    def softplus_inv(y):
+        return float(np.log(np.expm1(np.maximum(y, 1e-6))))
+
+    density_raw = np.where(
+        solid, np.float32(softplus_inv(solid_density)), np.float32(-8.0)
+    ).astype(np.float32)
+
+    diffuse = np.asarray(materials.diffuse)
+    colors = diffuse[np.clip(mats, 0, diffuse.shape[0] - 1)]
+    albedo_raw = np.log(
+        np.clip(colors, 1e-4, 1 - 1e-4) / (1 - np.clip(colors, 1e-4, 1 - 1e-4))
+    ).astype(np.float32)
+
+    return VoxelParams(
+        density_raw=jnp.asarray(density_raw), albedo_raw=jnp.asarray(albedo_raw)
+    )
+
+
+def composite(
+    segments: SegmentBatch,
+    params: VoxelParams,
+    sky=(0.45, 0.65, 0.95),
+    far: float = 8192.0,
+):
+    """Returns dict(rgb f32[N,3], depth f32[N], opacity f32[N])."""
+    slot = segments.slot
+    valid = slot >= 0
+    slot_c = jnp.clip(slot, 0, params.num_slots - 1)
+
+    sigma = jnp.logaddexp(params.density_raw[slot_c], 0.0)  # stable softplus
+    dl = jnp.maximum(segments.t1 - segments.t0, 0.0)
+    tau = jnp.where(valid, sigma * dl, 0.0)
+
+    alpha = 1.0 - jnp.exp(-tau)
+    # Transmittance before each segment: exp(-cumsum of previous taus).
+    tau_before = jnp.cumsum(tau, axis=1) - tau
+    T = jnp.exp(-tau_before)
+    w = alpha * T                                       # [N, K]
+
+    albedo = jax.nn.sigmoid(params.albedo_raw[slot_c])  # [N, K, 3]
+    rgb = jnp.sum(w[..., None] * albedo, axis=1)
+    T_end = jnp.exp(-jnp.sum(tau, axis=1))
+    rgb = rgb + T_end[:, None] * jnp.asarray(sky, dtype=jnp.float32)
+
+    mid = 0.5 * (segments.t0 + segments.t1)
+    depth = jnp.sum(w * mid, axis=1) + T_end * jnp.float32(far)
+    opacity = 1.0 - T_end
+    return {"rgb": rgb, "depth": depth, "opacity": opacity, "weights": w}
+
+
+def render_soft(
+    world,
+    params: VoxelParams,
+    origins,
+    dirs,
+    max_segments: int = 32,
+    max_steps: int = 512,
+    sky=(0.45, 0.65, 0.95),
+):
+    """Differentiable render = stop-gradient geometry sampling + compositing."""
+    from .segments import sample_segments
+
+    segs = sample_segments(world, origins, dirs, max_segments, max_steps)
+    segs = jax.lax.stop_gradient(segs)
+    return composite(segs, params, sky)
+
+
+__all__ = ["VoxelParams", "init_params_from_world", "composite", "render_soft"]

@@ -1,0 +1,66 @@
+"""Inverse rendering: fit per-voxel density/albedo to target views.
+
+BASELINE config 3: render target images with the hard renderer, then
+optimize VoxelParams with optax so the soft renderer reproduces them; the
+per-view L2 photometric loss differentiates through composite() down to
+every voxel parameter.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .composite import VoxelParams, composite
+from .segments import sample_segments
+
+
+def make_loss_fn(world, views, max_segments: int = 32, max_steps: int = 512):
+    """views: list of (origins, dirs, target_rgb). Pre-samples segments once
+    (geometry is fixed during param optimization) so each step is pure
+    compositing — the big TPU win of splitting geometry from appearance."""
+    cached = []
+    for origins, dirs, target in views:
+        segs = sample_segments(world, origins, dirs, max_segments, max_steps)
+        cached.append((jax.lax.stop_gradient(segs), jnp.asarray(target)))
+
+    def loss_fn(params: VoxelParams):
+        total = jnp.float32(0.0)
+        for segs, target in cached:
+            out = composite(segs, params)
+            total = total + jnp.mean((out["rgb"] - target) ** 2)
+        return total / len(cached)
+
+    return loss_fn
+
+
+def fit(
+    world,
+    views,
+    params0: VoxelParams,
+    steps: int = 100,
+    lr: float = 0.05,
+    max_segments: int = 32,
+):
+    """Run Adam on the photometric loss; returns (params, loss_history)."""
+    loss_fn = make_loss_fn(world, views, max_segments)
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    params = params0
+    opt_state = opt.init(params)
+    history = []
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+        history.append(float(loss))
+    return params, history
+
+
+__all__ = ["make_loss_fn", "fit"]

@@ -1,0 +1,139 @@
+"""Differentiable path tests: segment sampling, soft-vs-hard consistency,
+finite-difference gradient parity (BASELINE atol 1e-4), and inverse-render
+convergence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from octree_raymarcher_tpu.diff import (
+    VoxelParams,
+    composite,
+    init_params_from_world,
+    render_soft,
+    sample_segments,
+)
+from octree_raymarcher_tpu.ops import march
+from octree_raymarcher_tpu.shade import OrthoCamera
+from octree_raymarcher_tpu.world import single_chunk_world
+from octree_raymarcher_tpu.worldgen import BoundsPyramid, grow
+
+
+@pytest.fixture(scope="module")
+def dworld():
+    pyr = BoundsPyramid.generate(
+        size=32, amplitude=8.0, period=1.0 / 32, xshift=0.0, yshift=12.0,
+        zshift=0.0, seed=11,
+    )
+    chunk = grow([0.0, 0.0, 0.0], 32.0, depth=5, pyr=pyr)
+    return single_chunk_world(chunk)
+
+
+@pytest.fixture(scope="module")
+def rays():
+    cam = OrthoCamera(
+        position=(16.0, 40.0, 16.0), direction=(0, -1, 0), up=(0, 0, 1),
+        width=31.0, height=31.0, xres=16, yres=16,
+    )
+    return cam.rays()
+
+
+def test_segments_match_hard_march(dworld, rays):
+    origins, dirs = rays
+    segs = sample_segments(dworld, origins, dirs, max_segments=16)
+    res = march(dworld, origins, dirs)
+
+    hit = np.asarray(res.hit)
+    t = np.asarray(res.t)
+    count = np.asarray(segs.count)
+    t0 = np.asarray(segs.t0)
+
+    # Every hard-hit ray records at least one segment, and the first segment
+    # starts where the hard march stopped.
+    assert (count[hit] >= 1).all()
+    np.testing.assert_allclose(t0[hit, 0], t[hit], rtol=1e-4, atol=1e-4)
+    # Rays that miss record nothing solid before leaving the world.
+    assert (count[~hit] == 0).all()
+
+
+def test_segments_are_ordered_positive(dworld, rays):
+    origins, dirs = rays
+    segs = sample_segments(dworld, origins, dirs, max_segments=16)
+    slot = np.asarray(segs.slot)
+    t0 = np.asarray(segs.t0)
+    t1 = np.asarray(segs.t1)
+    valid = slot >= 0
+    assert (t1[valid] >= t0[valid]).all()
+    # entries are consecutive along the ray
+    for i in range(len(t0)):
+        k = int(np.asarray(segs.count)[i])
+        for j in range(1, k):
+            assert t0[i, j] >= t0[i, j - 1] - 1e-5
+
+
+def test_soft_render_approximates_hard(dworld, rays):
+    origins, dirs = rays
+    params = init_params_from_world(dworld, solid_density=400.0)
+    out = render_soft(dworld, params, origins, dirs)
+    res = march(dworld, origins, dirs)
+    hit = np.asarray(res.hit)
+    opacity = np.asarray(out["opacity"])
+    # Opaque-density soft render: hit rays saturate, miss rays stay clear.
+    assert (opacity[hit] > 0.95).all()
+    assert (opacity[~hit] < 0.05).all()
+    # Depth of first surface agrees with the hard march distance.
+    depth = np.asarray(out["depth"])
+    t = np.asarray(res.t)
+    np.testing.assert_allclose(depth[hit], t[hit], rtol=0.05, atol=0.2)
+
+
+def test_gradient_matches_finite_difference(dworld, rays):
+    origins, dirs = rays
+    segs = sample_segments(dworld, origins, dirs, max_segments=16)
+    params = init_params_from_world(dworld, solid_density=3.0)
+
+    target = jnp.zeros((origins.shape[0], 3), dtype=jnp.float32)
+
+    def loss(p):
+        out = composite(segs, p)
+        return jnp.mean((out["rgb"] - target) ** 2)
+
+    g = jax.grad(loss)(params)
+    g_density = np.asarray(g.density_raw)
+
+    # Pick the most-touched slots and check FD parity at atol 1e-4.
+    touched = np.unique(np.asarray(segs.slot)[np.asarray(segs.slot) >= 0])
+    rng = np.random.default_rng(0)
+    check = rng.choice(touched, size=min(8, len(touched)), replace=False)
+    eps = 1e-3
+    base = np.asarray(params.density_raw)
+    for s in check:
+        dplus = base.copy()
+        dplus[s] += eps
+        dminus = base.copy()
+        dminus[s] -= eps
+        lp = float(loss(params.replace(density_raw=jnp.asarray(dplus))))
+        lm = float(loss(params.replace(density_raw=jnp.asarray(dminus))))
+        fd = (lp - lm) / (2 * eps)
+        assert np.isclose(fd, g_density[s], atol=1e-4, rtol=5e-2), (
+            s, fd, g_density[s],
+        )
+
+
+def test_inverse_render_converges(dworld, rays):
+    from octree_raymarcher_tpu.diff import fit
+
+    origins, dirs = rays
+    # Target: the soft render under ground-truth params.
+    gt = init_params_from_world(dworld, solid_density=50.0)
+    target = render_soft(dworld, gt, origins, dirs)["rgb"]
+
+    # Start from perturbed albedo.
+    rngk = jax.random.PRNGKey(0)
+    start = gt.replace(
+        albedo_raw=gt.albedo_raw + 2.0 * jax.random.normal(rngk, gt.albedo_raw.shape)
+    )
+    views = [(origins, dirs, target)]
+    fitted, history = fit(dworld, views, start, steps=60, lr=0.1)
+    assert history[-1] < history[0] * 0.1, history[::10]
