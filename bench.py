@@ -1,0 +1,114 @@
+"""Headline benchmark: forward raymarch+shade throughput at 1080p.
+
+Workload mirrors the reference's default scene (Main.cpp:38,80): a 4x4x4
+chunk grid of 128^3-voxel octrees (512^3 addressable voxels, depth 8) from
+simplex terrain, rendered through a 1920x1080 perspective camera.  Prints ONE
+JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against bench_baseline.json (written on first run, so
+later rounds report their speedup over the first recorded number).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_world():
+    from octree_raymarcher_tpu.world.device import pack_chunks
+    from octree_raymarcher_tpu.worldgen import BoundsPyramid, grow
+
+    W = H = D = 4
+    CS = 128
+    chunks = [None] * (W * H * D)
+    pyramids = {}
+    for z in range(D):
+        for x in range(W):
+            pyramids[(x, z)] = BoundsPyramid.generate(
+                size=256, amplitude=64.0, period=1.0 / 256,
+                xshift=x * 256.0, yshift=16.0, zshift=z * 256.0, seed=0,
+            )
+    for y in range(H):
+        for z in range(D):
+            for x in range(W):
+                i = x + z * W + y * W * D
+                chunks[i] = grow(
+                    [x * CS, y * CS, z * CS], float(CS), depth=8, pyr=pyramids[(x, z)]
+                )
+    return pack_chunks(chunks, (W, H, D))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
+    from octree_raymarcher_tpu.shade.render import RenderConfig, render
+
+    t0 = time.time()
+    world = build_world()
+    world = jax.tree_util.tree_map(jnp.asarray, world)
+    t_world = time.time() - t0
+
+    cam = PerspectiveCamera(
+        position=(256.0, 90.0, -80.0), yaw_deg=0.0, pitch_deg=-12.0,
+        fov_deg=80.0, width=1920, height=1080,
+    )
+    origins, dirs = cam.rays()
+    n_rays = origins.shape[0]
+    eye = jnp.asarray(cam.position, dtype=jnp.float32)
+    origins = jnp.asarray(origins)
+    dirs = jnp.asarray(dirs)
+
+    cfg = RenderConfig(shadow="none", max_steps=512)
+
+    @jax.jit
+    def frame(o, d):
+        return render(world, o, d, eye, cfg=cfg)["rgb"]
+
+    t0 = time.time()
+    out = jax.block_until_ready(frame(origins, dirs))
+    t_compile = time.time() - t0
+    hit_frac = 1.0 - float(np.isclose(np.asarray(out), np.asarray(cfg.sky)).all(-1).mean())
+
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        out = frame(origins, dirs)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    rays_per_s = n_rays / dt
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    if os.path.exists(baseline_path):
+        base = json.load(open(baseline_path))["value"]
+    else:
+        base = rays_per_s
+        json.dump(
+            {"metric": "fwd_rays_per_s_1080p", "value": rays_per_s},
+            open(baseline_path, "w"),
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "fwd_rays_per_s_1080p",
+                "value": round(rays_per_s),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / base, 3),
+            }
+        )
+    )
+    print(
+        f"# world_build={t_world:.2f}s compile={t_compile:.1f}s "
+        f"frame={dt*1e3:.1f}ms hit_frac={hit_frac:.2f} "
+        f"device={jax.devices()[0].device_kind}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
