@@ -19,27 +19,14 @@ import numpy as np
 
 
 def build_world():
-    from octree_raymarcher_tpu.world.device import pack_chunks
-    from octree_raymarcher_tpu.worldgen import BoundsPyramid, grow
+    from octree_raymarcher_tpu.world.world import World
 
-    W = H = D = 4
-    CS = 128
-    chunks = [None] * (W * H * D)
-    pyramids = {}
-    for z in range(D):
-        for x in range(W):
-            pyramids[(x, z)] = BoundsPyramid.generate(
-                size=256, amplitude=64.0, period=1.0 / 256,
-                xshift=x * 256.0, yshift=16.0, zshift=z * 256.0, seed=0,
-            )
-    for y in range(H):
-        for z in range(D):
-            for x in range(W):
-                i = x + z * W + y * W * D
-                chunks[i] = grow(
-                    [x * CS, y * CS, z * CS], float(CS), depth=8, pyr=pyramids[(x, z)]
-                )
-    return pack_chunks(chunks, (W, H, D))
+    # Reference default scene: 4x4x4 chunks x 128^3 voxels, depth 8, with the
+    # water flood (Main.cpp:80, World.cpp:11,316-321).
+    w = World.generate(dims=(4, 4, 4), chunksize=128.0, depth=8, seed=0,
+                       water_level=6.0, amplitude=64.0)
+    _, dev = w.to_device(slack=1.0)
+    return dev
 
 
 def main():

@@ -1,0 +1,116 @@
+"""Defrag/LOD tests (reference defragcopy + lodmm, src/Octree.cpp:445-765)."""
+
+import numpy as np
+
+from octree_raymarcher_tpu.core.chunk import Chunk
+from octree_raymarcher_tpu.core.nodes import EMPTY, LEAF, node_type
+from octree_raymarcher_tpu.march import cpu_ref
+from octree_raymarcher_tpu.world.edit import build, destroy
+from octree_raymarcher_tpu.world.lod import (
+    defrag,
+    from_dense,
+    lod,
+    majority_downsample,
+    to_dense,
+)
+from octree_raymarcher_tpu.worldgen import BoundsPyramid, grow
+
+
+def _terrain_chunk(depth=5, size=32.0):
+    pyr = BoundsPyramid.generate(
+        size=64, amplitude=16.0, period=1.0 / 64, xshift=0, yshift=4.0, zshift=0, seed=3
+    )
+    return grow((0.0, 0.0, 0.0), size, depth, pyr)
+
+
+def test_dense_roundtrip_identity():
+    c = _terrain_chunk()
+    d = to_dense(c)
+    c2 = from_dense(d, c.position, c.size, c.depth)
+    np.testing.assert_array_equal(to_dense(c2), d)
+
+
+def test_defrag_collapses_split_leaves():
+    c = Chunk.empty_chunk((0.0, 0.0, 0.0), 16.0, 4)
+    build(c, (0, 0, 0), (16, 16, 16), 2)
+    # carve and refill the same voxel: content is solid again but the tree
+    # is fragmented with split branches/twigs
+    destroy(c, (4, 4, 4), (5, 5, 5))
+    build(c, (4, 4, 4), (5, 5, 5), 2)
+    assert c.ntrees > 1
+    f = defrag(c)
+    assert f.ntrees == 1 and node_type(int(f.tree[0])) == LEAF
+    assert f.ntwigs == 0
+
+
+def test_defrag_drops_orphans_and_preserves_content():
+    c = _terrain_chunk()
+    destroy(c, (3, 3, 3), (29, 12, 29))      # creates twigs + orphans
+    build(c, (8, 20, 8), (24, 26, 24), 5)
+    f = defrag(c)
+    np.testing.assert_array_equal(to_dense(f), to_dense(c))
+    assert f.ntrees <= c.ntrees
+    # marched parity on a few rays
+    for x in (2.0, 10.0, 22.0, 30.0):
+        a = np.array([x, 31.9, 16.5])
+        b = np.array([0.0, -1.0, 0.0])
+        h1 = cpu_ref.treemarch(c, a, b)
+        h2 = cpu_ref.treemarch(f, a, b)
+        assert h1.hit == h2.hit
+        if h1.hit:
+            assert np.isclose(h1.t, h2.t, atol=1e-4)
+            assert h1.material == h2.material
+
+
+def test_defrag_idempotent():
+    c = _terrain_chunk()
+    destroy(c, (5, 5, 5), (20, 20, 20))
+    f1 = defrag(c)
+    f2 = defrag(f1)
+    assert f1.ntrees == f2.ntrees and f1.ntwigs == f2.ntwigs
+    np.testing.assert_array_equal(f1.tree[: f1.ntrees], f2.tree[: f2.ntrees])
+
+
+def test_majority_downsample_votes():
+    g = np.zeros((4, 4, 4), np.uint16)
+    g[0:2, 0:2, 0:2] = [[[1, 1], [1, 2]], [[1, 2], [2, 2]]]  # 4 ones, 4 twos -> tie
+    g[0:2, 0:2, 2:4] = 3                                      # uniform 3
+    g[2:4, 2:4, 2:4] = [[[0, 0], [0, 5]], [[0, 5], [5, 5]]]   # 4 empty, 4 fives
+    d = majority_downsample(g)
+    assert d.shape == (2, 2, 2)
+    assert d[0, 0, 0] == 1        # tie broken toward lowest id
+    assert d[0, 0, 1] == 3
+    assert d[1, 1, 1] == 0        # emptiness competes and ties win low
+    assert d[1, 0, 0] == 0        # fully empty region stays empty
+
+
+def test_lod_halves_depth_and_keeps_surface():
+    c = _terrain_chunk(depth=5)
+    lo = lod(c)
+    assert lo.depth == c.depth - 1
+    assert lo.size == c.size
+    # surface height from above must agree within one coarse voxel
+    coarse = c.size / (1 << lo.depth)
+    hits = misses = 0
+    for x in (4.0, 12.0, 20.0, 28.0):
+        for z in (4.0, 12.0, 20.0, 28.0):
+            a = np.array([x, 31.9, z])
+            b = np.array([0.0, -1.0, 0.0])
+            h1 = cpu_ref.treemarch(c, a, b)
+            h2 = cpu_ref.treemarch(lo, a, b)
+            if h1.hit and h2.hit:
+                assert abs(h1.t - h2.t) <= 2 * coarse + 1e-3
+                hits += 1
+            else:
+                misses += 1
+    assert hits >= misses  # LOD keeps the bulk of the surface
+
+
+def test_lod_of_uniform_is_single_leaf():
+    c = Chunk.empty_chunk((0.0, 0.0, 0.0), 16.0, 4)
+    build(c, (0, 0, 0), (16, 16, 16), 7)
+    lo = lod(c)
+    assert lo.ntrees == 1 and node_type(int(lo.tree[0])) == LEAF
+    e = Chunk.empty_chunk((0.0, 0.0, 0.0), 16.0, 4)
+    le = lod(e)
+    assert le.ntrees == 1 and node_type(int(le.tree[0])) == EMPTY
