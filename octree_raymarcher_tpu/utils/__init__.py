@@ -1,0 +1,2 @@
+from .metrics import Counter, MetricsLogger, rays_per_second
+from . import native

@@ -3,3 +3,4 @@ from .alloc import FreeList, PoolAllocator, WorldAllocator
 from .edit import build, destroy, replace
 from .world import World
 from .lod import defrag, lod
+from .pick import pick, cursor_box, PickResult
