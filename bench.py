@@ -19,13 +19,32 @@ import numpy as np
 
 
 def build_world():
+    from octree_raymarcher_tpu.world.device import DeviceWorld
     from octree_raymarcher_tpu.world.world import World
 
     # Reference default scene: 4x4x4 chunks x 128^3 voxels, depth 8, with the
-    # water flood (Main.cpp:80, World.cpp:11,316-321).
+    # water flood (Main.cpp:80, World.cpp:11,316-321).  The packed pools are
+    # cached on disk (~30 s to rebuild, scene is deterministic in the seed).
+    cache = os.path.join(os.path.dirname(__file__), ".bench_world.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return DeviceWorld(
+            tree=z["tree"], twig=z["twig"], twig_occ=z["twig_occ"],
+            chunk_bmin=z["chunk_bmin"], chunk_tree=z["chunk_tree"],
+            chunk_twig=z["chunk_twig"], chunkcoordmin=z["chunkcoordmin"],
+            chunksize=float(z["chunksize"]), dims=tuple(int(v) for v in z["dims"]),
+            depth=int(z["depth"]),
+        )
     w = World.generate(dims=(4, 4, 4), chunksize=128.0, depth=8, seed=0,
                        water_level=6.0, amplitude=64.0)
     _, dev = w.to_device(slack=1.0)
+    np.savez(
+        cache,
+        tree=dev.tree, twig=dev.twig, twig_occ=dev.twig_occ,
+        chunk_bmin=dev.chunk_bmin, chunk_tree=dev.chunk_tree,
+        chunk_twig=dev.chunk_twig, chunkcoordmin=dev.chunkcoordmin,
+        chunksize=dev.chunksize, dims=np.asarray(dev.dims), depth=dev.depth,
+    )
     return dev
 
 
@@ -57,10 +76,15 @@ def main():
     def frame(o, d):
         return render(world, o, d, eye, cfg=cfg)["rgb"]
 
+    # IMPORTANT: no device->host readback (np.asarray/float) is allowed until
+    # after the timed loop.  Through the axon TPU tunnel, the FIRST readback
+    # permanently switches the process to synchronous per-kernel dispatch
+    # (~40-400us overhead per kernel execution, measured 2026-08-17), which
+    # is tunnel overhead, not TPU time.  block_until_ready() does not trigger
+    # it, so warmup+timing below measure true pipelined device performance.
     t0 = time.time()
     out = jax.block_until_ready(frame(origins, dirs))
     t_compile = time.time() - t0
-    hit_frac = 1.0 - float(np.isclose(np.asarray(out), np.asarray(cfg.sky)).all(-1).mean())
 
     iters = 5
     t0 = time.time()
@@ -69,6 +93,7 @@ def main():
     jax.block_until_ready(out)
     dt = (time.time() - t0) / iters
     rays_per_s = n_rays / dt
+    hit_frac = 1.0 - float(np.isclose(np.asarray(out), np.asarray(cfg.sky)).all(-1).mean())
 
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     if os.path.exists(baseline_path):
