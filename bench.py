@@ -13,9 +13,14 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+
+def note(msg):
+    print(f"# bench: {msg}", file=sys.stderr, flush=True)
 
 
 def build_world():
@@ -56,9 +61,13 @@ def main():
     from octree_raymarcher_tpu.shade.render import RenderConfig, render
 
     t0 = time.time()
+    note("building world")
     world = build_world()
+    note(f"world built ({time.time()-t0:.1f}s); transferring pools")
     world = jax.tree_util.tree_map(jnp.asarray, world)
+    jax.block_until_ready(world.tree)
     t_world = time.time() - t0
+    note(f"pools on device ({t_world:.1f}s total)")
 
     cam = PerspectiveCamera(
         position=(256.0, 90.0, -80.0), yaw_deg=0.0, pitch_deg=-12.0,
@@ -83,8 +92,13 @@ def main():
     # is tunnel overhead, not TPU time.  block_until_ready() does not trigger
     # it, so warmup+timing below measure true pipelined device performance.
     t0 = time.time()
-    out = jax.block_until_ready(frame(origins, dirs))
+    note("compiling 1080p frame (persistent cache: .jax_cache)")
+    compiled = frame.lower(origins, dirs).compile()
+    note(f"compiled ({time.time()-t0:.1f}s); first run")
+    out = jax.block_until_ready(compiled(origins, dirs))
     t_compile = time.time() - t0
+    note(f"first frame done ({t_compile:.1f}s total); timing")
+    frame = compiled
 
     iters = 5
     t0 = time.time()
