@@ -32,7 +32,12 @@ def build_world():
     # cached on disk (~30 s to rebuild, scene is deterministic in the seed).
     cache = os.path.join(os.path.dirname(__file__), ".bench_world.npz")
     if os.path.exists(cache):
-        z = np.load(cache)
+        try:
+            z = np.load(cache)
+            z["tree"]
+        except Exception:
+            os.remove(cache)
+            return build_world()
         return DeviceWorld(
             tree=z["tree"], twig=z["twig"], twig_occ=z["twig_occ"],
             chunk_bmin=z["chunk_bmin"], chunk_tree=z["chunk_tree"],
@@ -43,13 +48,15 @@ def build_world():
     w = World.generate(dims=(4, 4, 4), chunksize=128.0, depth=8, seed=0,
                        water_level=6.0, amplitude=64.0)
     _, dev = w.to_device(slack=1.0)
+    # atomic write so an interrupted run can't leave a corrupt cache
     np.savez(
-        cache,
+        cache + ".tmp.npz",
         tree=dev.tree, twig=dev.twig, twig_occ=dev.twig_occ,
         chunk_bmin=dev.chunk_bmin, chunk_tree=dev.chunk_tree,
         chunk_twig=dev.chunk_twig, chunkcoordmin=dev.chunkcoordmin,
         chunksize=dev.chunksize, dims=np.asarray(dev.dims), depth=dev.depth,
     )
+    os.replace(cache + ".tmp.npz", cache)
     return dev
 
 

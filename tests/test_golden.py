@@ -1,0 +1,110 @@
+"""Golden-image regression tests (SURVEY.md section 4 test plan).
+
+Rather than storing full frames, each config stores an 8x8 block-mean
+thumbnail of the rendered image — robust to sub-ulp numeric drift across
+backends, sensitive to any real change in geometry, shading, shadows or
+compositing.  Regenerate with REGEN_GOLDEN=1 python -m pytest tests/test_golden.py
+after an intentional change, and review the printed diffs.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+REGEN = os.environ.get("REGEN_GOLDEN") == "1"
+
+
+def _thumb(img, h, w, k=8):
+    a = np.asarray(img, dtype=np.float64).reshape(h, w, 3)
+    bh, bw = h // k, w // k
+    return a[: bh * k, : bw * k].reshape(k, bh, k, bw, 3).mean(axis=(1, 3))
+
+
+def _check(name, thumb, atol=2e-2):
+    path = os.path.join(GOLDEN_DIR, name + ".npy")
+    if REGEN or not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.save(path, thumb)
+        if not REGEN:
+            pytest.skip(f"golden {name} created; rerun to compare")
+        return
+    ref = np.load(path)
+    np.testing.assert_allclose(thumb, ref, atol=atol,
+                               err_msg=f"golden mismatch: {name}")
+
+
+@pytest.fixture(scope="module")
+def scene():
+    import jax
+    import jax.numpy as jnp
+
+    from octree_raymarcher_tpu.world.world import World
+
+    w = World.generate(dims=(2, 1, 2), chunksize=32.0, depth=5, seed=7,
+                       water_level=4.0, amplitude=16.0)
+    _, dev = w.to_device()
+    return w, jax.tree_util.tree_map(jnp.asarray, dev)
+
+
+def _render(dev, shadow):
+    import jax.numpy as jnp
+
+    from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
+    from octree_raymarcher_tpu.shade.render import RenderConfig, render
+
+    cam = PerspectiveCamera(position=(32.0, 30.0, -20.0), yaw_deg=0.0,
+                            pitch_deg=-20.0, fov_deg=70.0, width=96, height=54)
+    o, d = cam.rays()
+    out = render(dev, jnp.asarray(o), jnp.asarray(d),
+                 jnp.asarray(cam.position, dtype=jnp.float32),
+                 cfg=RenderConfig(shadow=shadow))
+    return out["rgb"], cam.height, cam.width
+
+
+def test_golden_plain(scene):
+    _, dev = scene
+    rgb, h, w = _render(dev, "none")
+    _check("plain_2x1x2_d5", _thumb(rgb, h, w))
+
+
+def test_golden_ray_shadow(scene):
+    _, dev = scene
+    rgb, h, w = _render(dev, "ray")
+    _check("rayshadow_2x1x2_d5", _thumb(rgb, h, w))
+
+
+def test_golden_after_edit(scene):
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    w, _ = scene
+    w = copy.deepcopy(w)
+    wa, dev = w.to_device()
+    dev = jax.tree_util.tree_map(jnp.asarray, dev)
+    dev = w.apply(wa, dev, w.replace((10, 8, 10), (54, 22, 54), 5))
+    rgb, h, wd = _render(dev, "none")
+    _check("edited_2x1x2_d5", _thumb(rgb, h, wd))
+
+
+def test_golden_soft_composite(scene):
+    """The differentiable soft renderer's output is also pinned."""
+    import jax
+    import jax.numpy as jnp
+
+    from octree_raymarcher_tpu.diff import (
+        init_params_from_world,
+        render_soft,
+    )
+    from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
+
+    _, dev = scene
+    cam = PerspectiveCamera(position=(32.0, 30.0, -20.0), pitch_deg=-20.0,
+                            fov_deg=70.0, width=48, height=27)
+    o, d = cam.rays()
+    params = init_params_from_world(dev)
+    out = render_soft(dev, params, jnp.asarray(o), jnp.asarray(d))
+    _check("soft_2x1x2_d5", _thumb(out["rgb"], 27, 48, k=3), atol=3e-2)
