@@ -47,7 +47,7 @@ def build_world():
         )
     w = World.generate(dims=(4, 4, 4), chunksize=128.0, depth=8, seed=0,
                        water_level=6.0, amplitude=64.0)
-    _, dev = w.to_device(slack=1.0)
+    _, dev = w.to_device(slack=1.0, device=False)
     # atomic write so an interrupted run can't leave a corrupt cache
     np.savez(
         cache + ".tmp.npz",

@@ -177,6 +177,7 @@ class WorldAllocator:
         dims: tuple,
         chunkcoordmin=(0, 0, 0),
         slack: float = 1.5,
+        device: bool = True,
     ) -> tuple["WorldAllocator", DeviceWorld]:
         w, h, d = dims
         assert len(chunks) == w * h * d
@@ -197,16 +198,19 @@ class WorldAllocator:
                 c.twig[: c.ntwigs].astype(np.uint32).reshape(-1)
             )
         wa.tree.grown = wa.twig.grown = False
+        # device=False keeps pools as numpy (no transfer): callers that cache
+        # pools on disk or defer placement pass False and jnp.asarray later.
+        put = jnp.asarray if device else np.asarray
         dev = DeviceWorld(
-            tree=jnp.asarray(tree),
-            twig=jnp.asarray(twig),
-            twig_occ=jnp.asarray(occupancy_masks(twig)),
-            chunk_bmin=jnp.asarray(
+            tree=put(tree),
+            twig=put(twig),
+            twig_occ=put(occupancy_masks(twig)),
+            chunk_bmin=put(
                 np.stack([c.position for c in chunks]).astype(np.float32)
             ),
-            chunk_tree=jnp.asarray(tree_offs, dtype=jnp.int32),
-            chunk_twig=jnp.asarray(twig_offs, dtype=jnp.int32),
-            chunkcoordmin=jnp.asarray(chunkcoordmin, dtype=jnp.float32),
+            chunk_tree=put(np.asarray(tree_offs, dtype=np.int32)),
+            chunk_twig=put(np.asarray(twig_offs, dtype=np.int32)),
+            chunkcoordmin=put(np.asarray(chunkcoordmin, dtype=np.float32)),
             chunksize=float(chunks[0].size),
             dims=(w, h, d),
             depth=max(c.depth for c in chunks),

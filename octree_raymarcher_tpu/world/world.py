@@ -130,9 +130,10 @@ class World:
         return self.chunks[self.index(cx, cy, cz)]
 
     # -- device residency --------------------------------------------------
-    def to_device(self, slack: float = 1.5) -> tuple[WorldAllocator, DeviceWorld]:
+    def to_device(self, slack: float = 1.5, device: bool = True) -> tuple[WorldAllocator, DeviceWorld]:
         return WorldAllocator.pack(
-            self.chunks, self.dims, chunkcoordmin=self.chunkcoordmin, slack=slack
+            self.chunks, self.dims, chunkcoordmin=self.chunkcoordmin,
+            slack=slack, device=device,
         )
 
     # -- edits (reference Main.cpp:321-368 modify/destroy/build/replace) ---
