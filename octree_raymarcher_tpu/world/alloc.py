@@ -18,6 +18,7 @@ the always-available fallback and the semantics oracle for its tests).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -156,6 +157,14 @@ def _grow_device(arr, new_len: int):
     return jnp.concatenate([arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)])
 
 
+# Donated pool patch: the glBufferSubData analog.  donate_argnums=0 lets XLA
+# update the pool buffer in place in HBM instead of copying the whole arena
+# per edit (the pools are tens of MB; the dirty range is usually tiny).
+@partial(jax.jit, donate_argnums=0, static_argnames=())
+def _patch(pool, seg, offset):
+    return jax.lax.dynamic_update_slice(pool, seg, (offset,))
+
+
 class WorldAllocator:
     """Pairs the tree and twig pool allocators and applies chunk edits to a
     DeviceWorld functionally (reference RootAllocator::{alloc,subst},
@@ -255,7 +264,7 @@ class WorldAllocator:
             lo, hi = max(0, dtree.left), min(chunk.ntrees, dtree.right)
         if hi > lo:
             seg = jnp.asarray(chunk.tree[lo:hi])
-            tree = jax.lax.dynamic_update_slice(tree, seg, (blk_t.offset + lo,))
+            tree = _patch(tree, seg, jnp.int32(blk_t.offset + lo))
 
         # Twig pool (+ occupancy mirror): same policy, twig-index granular.
         if moved_w or dtwig.realloc:
@@ -264,13 +273,13 @@ class WorldAllocator:
             lo, hi = max(0, dtwig.left), min(chunk.ntwigs, dtwig.right)
         if hi > lo:
             host = chunk.twig[lo:hi].astype(np.uint32).reshape(-1)
-            twig = jax.lax.dynamic_update_slice(
-                twig, jnp.asarray(host), ((blk_w.offset + lo) * TWIG_WORDS,)
+            twig = _patch(
+                twig, jnp.asarray(host), jnp.int32((blk_w.offset + lo) * TWIG_WORDS)
             )
-            occ = jax.lax.dynamic_update_slice(
+            occ = _patch(
                 occ,
                 jnp.asarray(occupancy_masks(host)),
-                ((blk_w.offset + lo) * 2,),
+                jnp.int32((blk_w.offset + lo) * 2),
             )
 
         return dev.replace(
