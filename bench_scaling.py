@@ -10,6 +10,11 @@ efficiency vs linear.  On a single-chip host, run on the virtual CPU mesh:
 On a real pod slice, run under jax.distributed (parallel/mesh.py
 init_distributed) and the same code paths scale across hosts over ICI/DCN.
 Prints one JSON line per mesh size plus a summary efficiency line.
+
+NOTE: on the virtual CPU mesh the efficiency number is mechanical only —
+all virtual devices share one host's cores (XLA already multithreads the
+1-device case), so speedup cannot exceed ~1x.  Real efficiency requires
+real chips.
 """
 
 from __future__ import annotations
@@ -37,22 +42,24 @@ def main():
 
     cam = PerspectiveCamera(
         position=(64.0, 50.0, -40.0), pitch_deg=-15.0, fov_deg=70.0,
-        width=512, height=288,
+        width=128, height=72,
     )
     origins, dirs = cam.rays()
     eye = (64.0, 50.0, -40.0)
 
-    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
+    sizes = [n for n in (1, 8, 64) if n <= len(devices)]
     results = {}
     for n in sizes:
         mesh = make_mesh(devices[:n])
         o, d, nr = pad_rays(origins, dirs, n)
-        f = lambda o_, d_: render_sharded(mesh, dev, o_, d_, eye)
+        from octree_raymarcher_tpu.shade.render import RenderConfig
+        cfg = RenderConfig(shadow="none", max_steps=128)
+        f = lambda o_, d_: render_sharded(mesh, dev, o_, d_, eye, cfg=cfg)
         o = jnp.asarray(o)
         d = jnp.asarray(d)
         out = jax.block_until_ready(f(o, d))           # compile + warm
         t0 = time.time()
-        reps = 3
+        reps = 2
         for _ in range(reps):
             out = f(o, d)
         jax.block_until_ready(out)
