@@ -26,7 +26,7 @@ import numpy as np
 
 from ..core.constants import EPS, FAR, NEAR
 from ..core.geometry import cube_normal, cube_uv, inverse_depth
-from ..ops.march_jnp import march
+from ..ops.march_jnp import march, march_tiled
 from ..world.device import DeviceWorld
 from .lights import LightRig
 from .materials import MaterialTable
@@ -40,6 +40,11 @@ class RenderConfig:
     sky: tuple = (0.45, 0.65, 0.95)
     gamma: float = 2.2              # atlas decode gamma
     shadow_bias: float = 1e-3
+    # Ray-tile size for the march: VMEM-sized tiles keep the octree tables
+    # and the loop state on-chip (large untiled batches spill to HBM and
+    # gather at memory latency — docs/PERF_NOTES.md), and each tile's loop
+    # exits at its own worst ray.  <=0 marches the whole batch at once.
+    tile: int = 32768
 
 
 def shade_hits(
@@ -110,7 +115,8 @@ def ray_shadow(world: DeviceWorld, res, points, normals, lights: LightRig, cfg):
     ldir = -lights.directional.direction
     ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir), 1e-12)
     start = points + normals * jnp.float32(4 * EPS)
-    sres = march(world, start, jnp.broadcast_to(ldir, start.shape), cfg.max_steps)
+    sres = march_tiled(world, start, jnp.broadcast_to(ldir, start.shape),
+                       cfg.max_steps, tile=cfg.tile if cfg.tile > 0 else 1 << 62)
     return (res.hit & sres.hit).astype(jnp.float32)
 
 
@@ -201,7 +207,8 @@ def render(
     lights = LightRig.default() if lights is None else lights
     materials = MaterialTable.default() if materials is None else materials
 
-    res = march(world, origins, dirs, cfg.max_steps)
+    res = march_tiled(world, origins, dirs, cfg.max_steps,
+                      tile=cfg.tile if cfg.tile > 0 else 1 << 62)
 
     shadow_factor = None
     if cfg.shadow == "ray":
