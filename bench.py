@@ -82,6 +82,15 @@ def main():
     )
     origins, dirs = cam.rays()
     n_rays = origins.shape[0]
+    # Screen-block ray order: spatially-coherent rays share march tiles so
+    # each tile's loop exits at a local worst ray (same compiled executable —
+    # the permutation is host-side data movement only).
+    block = int(os.environ.get("BENCH_BLOCK", "128"))
+    if block > 0:
+        from octree_raymarcher_tpu.shade.tiling import block_permutation
+
+        perm, _ = block_permutation(cam.height, cam.width, block)
+        origins, dirs = origins[perm], dirs[perm]
     eye = jnp.asarray(cam.position, dtype=jnp.float32)
     origins = jnp.asarray(origins)
     dirs = jnp.asarray(dirs)
