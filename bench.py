@@ -64,6 +64,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from octree_raymarcher_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
     from octree_raymarcher_tpu.shade.render import RenderConfig, render
 

@@ -25,6 +25,10 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    from octree_raymarcher_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from bench import build_world
     from octree_raymarcher_tpu.diff import (
         composite,

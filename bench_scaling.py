@@ -29,6 +29,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from octree_raymarcher_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from octree_raymarcher_tpu.parallel.mesh import make_mesh
     from octree_raymarcher_tpu.parallel.render_sharded import pad_rays, render_sharded
     from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
