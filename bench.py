@@ -69,7 +69,7 @@ def main():
     enable_persistent_cache()
 
     from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
-    from octree_raymarcher_tpu.shade.render import RenderConfig, render
+    from octree_raymarcher_tpu.shade.render import RenderConfig, render_frame
 
     t0 = time.time()
     note("building world")
@@ -100,10 +100,14 @@ def main():
     dirs = jnp.asarray(dirs)
 
     cfg = RenderConfig(shadow="none", max_steps=512)
+    tile = int(os.environ.get("BENCH_TILE", "65536"))
 
-    @jax.jit
-    def frame(o, d):
-        return render(world, o, d, eye, cfg=cfg)["rgb"]
+    # Host-tiled frame (render_frame): one per-tile executable, tiles
+    # dispatched asynchronously from the host.  The world travels as a jit
+    # argument and the march loop stays top-level per tile — both required
+    # for vectorized pool gathers (docs/PERF_NOTES.md).
+    def frame(w, o, d):
+        return render_frame(w, o, d, eye, cfg=cfg, tile=tile)["rgb"]
 
     # IMPORTANT: no device->host readback (np.asarray/float) is allowed until
     # after the timed loop.  Through the axon TPU tunnel, the FIRST readback
@@ -112,18 +116,15 @@ def main():
     # is tunnel overhead, not TPU time.  block_until_ready() does not trigger
     # it, so warmup+timing below measure true pipelined device performance.
     t0 = time.time()
-    note("compiling 1080p frame (persistent cache: .jax_cache)")
-    compiled = frame.lower(origins, dirs).compile()
-    note(f"compiled ({time.time()-t0:.1f}s); first run")
-    out = jax.block_until_ready(compiled(origins, dirs))
+    note("compiling 1080p tile (persistent cache: .jax_cache)")
+    out = jax.block_until_ready(frame(world, origins, dirs))
     t_compile = time.time() - t0
     note(f"first frame done ({t_compile:.1f}s total); timing")
-    frame = compiled
 
     iters = 5
     t0 = time.time()
     for _ in range(iters):
-        out = frame(origins, dirs)
+        out = frame(world, origins, dirs)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / iters
     rays_per_s = n_rays / dt

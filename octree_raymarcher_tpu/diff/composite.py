@@ -95,7 +95,13 @@ def composite(
     T = jnp.exp(-tau_before)
     w = alpha * T                                       # [N, K]
 
-    albedo = jax.nn.sigmoid(params.albedo_raw[slot_c])  # [N, K, 3]
+    # Channel-wise 1D gathers: albedo_raw[slot_c] is a [P,3] row gather,
+    # which TPU lowers to one DMA per segment (docs/PERF_NOTES.md); three
+    # flat gathers vectorize (and their VJP is three 1D scatter-adds).
+    ar = params.albedo_raw
+    albedo = jax.nn.sigmoid(
+        jnp.stack([ar[:, 0][slot_c], ar[:, 1][slot_c], ar[:, 2][slot_c]], axis=-1)
+    )  # [N, K, 3]
     rgb = jnp.sum(w[..., None] * albedo, axis=1)
     T_end = jnp.exp(-jnp.sum(tau, axis=1))
     rgb = rgb + T_end[:, None] * jnp.asarray(sky, dtype=jnp.float32)

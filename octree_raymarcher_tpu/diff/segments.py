@@ -99,7 +99,10 @@ def sample_segments(
             + jnp.mod(q[:, 1], hci) * wi * di
         )
         ci = jnp.clip(ci, 0, world.num_chunks - 1)
-        cb = world.chunk_bmin[ci]
+        cbm = world.chunk_bmin  # per-column 1D gathers (2D row gathers
+        cb = jnp.stack(         # serialize on TPU; docs/PERF_NOTES.md)
+            [cbm[:, 0][ci], cbm[:, 1][ci], cbm[:, 2][ci]], axis=-1
+        )
         active = active & is_inside(p, cb, cb + cs)
 
         tree_off = world.chunk_tree[ci]

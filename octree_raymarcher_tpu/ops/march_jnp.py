@@ -13,14 +13,32 @@ machine uniform iterations beat specialized inner loops.  Finished rays are
 masked; the loop ends when all rays are done or the step budget is spent.
 
 Performance design (measured on TPU v5e):
-  * the while carry is minimal — t, live/hit flags, steps — and the hit
-    record (cell, material) is reconstructed AFTER the loop by one extra
-    point-location at the frozen ray position, instead of carrying five
-    hit fields through every iteration;
+  * THE SINGLE-CARRY RULE (the big one, ~1000x): XLA:TPU emits the pool
+    gathers as fast vectorized VMEM gathers (~0.05-0.1 us per 8192-wide
+    gather) ONLY when the while loop carries exactly one int32 vector
+    (plus scalars).  Any second vector carry — even one untouched f32
+    array — flips every gather in the body to a serialized ~8 ns/element
+    emission (~60-90 us per gather op, measured 2026-08-18; see
+    docs/PERF_NOTES.md "the single-carry cliff").  The march therefore
+    packs its whole per-ray state into ONE int32: the bit pattern of the
+    f32 ray parameter t, with the sign bit meaning "done" —
+        state >= 0          : live, marching at t = f32(state)
+        state <  0, != MISS : hit, at t = |f32(state)|  (-0.0 = hit at 0)
+        state == MISS(-1e30): dead, no hit (never entered / exited world)
+    The steps AOV cannot fit; ``steps_aov=True`` switches to the
+    multi-carry loop (identical t/hit semantics, ~100x slower) for
+    debugging/profiling, mirroring the reference's per-pixel `steps`
+    counters (shaders/Chunkmarch.glsl:193).
+  * the hit record (cell, material) is reconstructed AFTER the loop by
+    one extra point-location at the frozen ray position, instead of
+    being carried through every iteration;
   * masks are 0/1 int32 combined arithmetically and selects are
     lerp-style (x + m*(y-x)); XLA materializes pred[N] tensors at fusion
     boundaries with a slow (128)(4,1) bool layout, and keeping the loop
     body pred-free measured ~20x faster than jnp.where chains;
+  * dead rays clamp their position parameter to T_CLAMP before the cell
+    math so sentinel values (1e30) never reach the escape-distance
+    arithmetic (0 * inf = NaN would poison the lerp selects);
   * the inner solid test reads the 64-bit twig *occupancy bitmask* pool
     (uint32 pairs, 32x smaller than the material pool) — materials are
     gathered once per ray after the loop;
@@ -35,6 +53,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..core.constants import (
@@ -50,6 +69,20 @@ from ..core.constants import (
 from ..world.device import DeviceWorld
 
 _U30 = (1 << 30) - 1
+_ABS_MASK = 0x7FFFFFFF
+# Miss sentinel: the int32 bit pattern of f32(-1e30).  Finite (so masked
+# arithmetic never multiplies an infinity) and far beyond any real t.
+_MISS_F = float(np.float32(-1e30))
+_MISS_BITS = int(np.float32(-1e30).view(np.int32))
+_T_CLAMP = 1e8  # dead-ray |t| clamp before cell math (keeps escape math finite)
+
+
+def _f2i(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _i2f(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
 
 
 def _safe_inv(d):
@@ -129,10 +162,29 @@ def march(
     dirs,
     max_steps: int = MAX_STEPS,
     unroll: int = 4,
+    steps_aov: bool = False,
 ) -> MarchResult:
-    """March N rays; returns a MarchResult of arrays over the ray batch."""
+    """March N rays; returns a MarchResult of arrays over the ray batch.
+
+    ``steps_aov=False`` (default) runs the single-int32-carry loop (fast
+    path, see module docstring) and returns ``steps`` as zeros;
+    ``steps_aov=True`` runs the multi-carry loop that counts per-ray
+    traversal steps (the reference's `steps` debug counter) at ~100x the
+    cost.  Both produce bit-identical hit/t/material results."""
     world = jax.tree_util.tree_map(jnp.asarray, world)
     o = jnp.asarray(origins, dtype=jnp.float32)
+    if isinstance(o, jax.core.Tracer) and not isinstance(
+        jnp.asarray(world.tree), jax.core.Tracer
+    ):
+        import warnings
+
+        warnings.warn(
+            "march(): the world pools are closure constants of this jit "
+            "trace; pass the DeviceWorld through the jitted function's "
+            "arguments instead — constant pools compile to serialized "
+            "gathers, ~300x slower (docs/PERF_NOTES.md).",
+            stacklevel=2,
+        )
     dd = jnp.asarray(dirs, dtype=jnp.float32)
     n = o.shape[0]
 
@@ -199,8 +251,9 @@ def march(
         esize = size + mtf * (leafsize - size)
         return m_hitcell, ex, ey, ez, esize
 
-    def step_once(s):
-        t, live = s["t"], s["live"]
+    def classify_and_escape(t, live):
+        """One march step's shared geometry: returns (hit_now, dead_now,
+        esc) for rays at parameter ``t`` with 0/1 ``live`` masks."""
         px, py, pz = ax + bx * t, ay + by * t, az + bz * t
 
         in_world = (
@@ -209,12 +262,14 @@ def march(
             * (pz >= loz).astype(jnp.int32) * (pz <= hiz).astype(jnp.int32)
         )
         word, bmx, bmy, bmz, size, twig_off, in_chunk = _locate(world, px, py, pz)
-        live = live * in_world * in_chunk
+        resident = in_world * in_chunk
+        live_eff = live * resident
 
         m_hitcell, ex, ey, ez, esize = solid_probe(
             word, bmx, bmy, bmz, size, twig_off, px, py, pz
         )
-        hit_now = live * m_hitcell
+        hit_now = live_eff * m_hitcell
+        dead_now = live * (1 - resident)
 
         # --- advance: escape the (cell | texel) box ------------------------
         dx = jnp.maximum((ex - px) * gx, (ex + esize - px) * gx)
@@ -223,38 +278,95 @@ def march(
         esc = jnp.minimum(dx, jnp.minimum(dy, dz))
         small = (esc < eps).astype(jnp.float32)
         esc = esc + small * (bigeps - esc) + eps
+        return hit_now, dead_now, esc
 
-        adv = live * (1 - hit_now)
-        return dict(
-            t=t + adv.astype(jnp.float32) * esc,
-            live=adv,
-            hit=s["hit"] + hit_now,
-            steps=s["steps"] + live,
-            step=s["step"],
+    if steps_aov:
+        # ---------------- multi-carry debug loop (steps counter) -----------
+        def step_once(s):
+            t, live = s["t"], s["live"]
+            hit_now, dead_now, esc = classify_and_escape(t, live)
+            adv = live * (1 - hit_now) * (1 - dead_now)
+            return dict(
+                t=t + adv.astype(jnp.float32) * esc,
+                live=adv,
+                hit=s["hit"] + hit_now,
+                steps=s["steps"] + live * (1 - dead_now),
+                step=s["step"],
+            )
+
+        state = dict(
+            t=t0,
+            live=live0,
+            hit=jnp.zeros(n, dtype=jnp.int32),
+            steps=jnp.zeros(n, dtype=jnp.int32),
+            step=jnp.int32(0),
         )
 
-    state = dict(
-        t=t0,
-        live=live0,
-        hit=jnp.zeros(n, dtype=jnp.int32),
-        steps=jnp.zeros(n, dtype=jnp.int32),
-        step=jnp.int32(0),
-    )
+        def cond(s):
+            return (s["step"] < max_steps) & (jnp.max(s["live"]) > 0)
 
-    def cond(s):
-        return (s["step"] < max_steps) & (jnp.max(s["live"]) > 0)
+        def body(s):
+            for _ in range(unroll):
+                s = step_once(s)
+            s["step"] = s["step"] + unroll
+            return s
 
-    def body(s):
-        for _ in range(unroll):
-            s = step_once(s)
-        s["step"] = s["step"] + unroll
-        return s
+        s = jax.lax.while_loop(cond, body, state)
+        hit = s["hit"] > 0
+        t = s["t"]
+        s_steps = s["steps"]
+    else:
+        # ---------------- single-int32-carry fast loop ----------------------
+        miss_b = jnp.int32(_MISS_BITS)
+        miss_f = jnp.float32(_MISS_F)
+        t_clamp = jnp.float32(_T_CLAMP)
 
-    s = jax.lax.while_loop(cond, body, state)
+        def step_state(state):
+            live = 1 - ((state >> 31) & 1)          # sign bit clear = live
+            t = jnp.minimum(_i2f(state & _ABS_MASK), t_clamp)
+            hit_now, dead_now, esc = classify_and_escape(t, live)
+            adv = live * (1 - hit_now) * (1 - dead_now)
+            # Select the next state in INT space: modular arithmetic makes
+            # x + m*(y-x) exact for 0/1 m even across int32 wraparound, and
+            # "hit" is just the sign bit (state | 0x80000000 keeps -0.0 for
+            # hits at t=0, which a float lerp would round away to +0.0).
+            cand = _f2i(t + esc)
+            hitb = state | jnp.int32(~_ABS_MASK)   # set sign bit (= -t, exact)
+            return (
+                state
+                + adv * (cand - state)
+                + hit_now * (hitb - state)
+                + dead_now * (miss_b - state)
+            )
+
+        # t0 is semantically >= 0 for live rays but can be -0.0 (the
+        # (1-inside)*(tnear+eps) product with tnear < 0 for inside rays);
+        # clear the sign bit so it doesn't read as "done".  Clamp it too:
+        # degenerate slab entries can produce t0 ~ 1e32, where the
+        # miss-sentinel lerp is no longer exact (ulp(1e32) > |miss|);
+        # in-loop t growth is self-limited (<= clamp + cell escape), so
+        # clamping the start keeps every state transition bit-exact.
+        t0bits = _f2i(jnp.minimum(t0, t_clamp)) & _ABS_MASK
+        state0 = t0bits + (1 - live0) * (miss_b - t0bits)
+
+        def cond(s):
+            state, step = s
+            # any live ray has its sign bit clear => int32 max >= 0
+            return (step < max_steps) & (jnp.max(state) >= 0)
+
+        def body(s):
+            state, step = s
+            for _ in range(unroll):
+                state = step_state(state)
+            return (state, step + unroll)
+
+        state, _ = jax.lax.while_loop(cond, body, (state0, jnp.int32(0)))
+        neg = (state >> 31) & 1
+        hit = (neg == 1) & (state != miss_b)
+        t = _i2f(state & _ABS_MASK)
+        s_steps = jnp.zeros(n, dtype=jnp.int32)
 
     # --- post-loop: reconstruct the hit record at the frozen position ------
-    hit = s["hit"] > 0
-    t = s["t"]
     px, py, pz = ax + bx * t, ay + by * t, az + bz * t
     word, bmx, bmy, bmz, size, twig_off, _ = _locate(world, px, py, pz)
     ty = (word >> 30) & 3
@@ -292,7 +404,7 @@ def march(
             axis=-1,
         ),
         cell_size=jnp.where(hit, hsize, 0.0),
-        steps=s["steps"],
+        steps=s_steps,
     )
 
 
@@ -301,8 +413,9 @@ def march_tiled(
     origins,
     dirs,
     max_steps: int = MAX_STEPS,
-    tile: int = 32768,
+    tile: int = 8192,
     unroll: int = 4,
+    steps_aov: bool = False,
 ) -> MarchResult:
     """March in coherent screen tiles: each tile's loop exits at its own
     worst ray.  Rays are padded to a tile multiple with away-pointing rays."""
@@ -310,7 +423,7 @@ def march_tiled(
     d = jnp.asarray(dirs, dtype=jnp.float32)
     n = o.shape[0]
     if n <= tile:
-        return march(world, o, d, max_steps, unroll)
+        return march(world, o, d, max_steps, unroll, steps_aov)
     pad = (-n) % tile
     if pad:
         o = jnp.concatenate([o, jnp.full((pad, 3), 1e9, dtype=jnp.float32)])
@@ -321,7 +434,7 @@ def march_tiled(
     dt = d.reshape(-1, tile, 3)
 
     def one(ab):
-        r = march(world, ab[0], ab[1], max_steps, unroll)
+        r = march(world, ab[0], ab[1], max_steps, unroll, steps_aov)
         return (r.hit, r.t, r.material, r.cell_bmin, r.cell_size, r.steps)
 
     hit, t, mat, cbm, csz, steps = jax.lax.map(one, (ot, dt))

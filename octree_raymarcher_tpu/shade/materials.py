@@ -49,13 +49,21 @@ class MaterialTable:
         )
 
     def lookup(self, material_id):
-        """Gather per-ray material params; id 0 (and misses) give black."""
+        """Per-ray material params via one-hot matmul; id 0 (and misses)
+        give black.
+
+        One-hot @ table instead of `table[m]`: XLA:TPU lowers 2D row
+        gathers to one DMA per index (~2 us/element measured — 283 ms for
+        a 32k-ray tile), while a [N,M]x[M,3] matmul is microseconds on the
+        MXU and exact (each row sums one x*1.0 term).  Differentiable
+        w.r.t. the tables either way.  docs/PERF_NOTES.md."""
         m = jnp.clip(material_id, 0, self.ambient.shape[0] - 1)
+        oh = (m[:, None] == jnp.arange(self.ambient.shape[0])).astype(jnp.float32)
         return (
-            self.ambient[m],
-            self.diffuse[m],
-            self.specular[m],
-            self.shininess[m],
+            oh @ self.ambient,
+            oh @ self.diffuse,
+            oh @ self.specular,
+            oh @ self.shininess,
         )
 
 

@@ -19,8 +19,10 @@ materials, and atlas texels.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,11 +42,14 @@ class RenderConfig:
     sky: tuple = (0.45, 0.65, 0.95)
     gamma: float = 2.2              # atlas decode gamma
     shadow_bias: float = 1e-3
-    # Ray-tile size for the march: VMEM-sized tiles keep the octree tables
-    # and the loop state on-chip (large untiled batches spill to HBM and
-    # gather at memory latency — docs/PERF_NOTES.md), and each tile's loop
-    # exits at its own worst ray.  <=0 marches the whole batch at once.
-    tile: int = 32768
+    # Ray-tile size for the march: each tile's loop exits at its own worst
+    # ray, so coherent tiles waste fewer lockstep lanes (docs/PERF_NOTES.md;
+    # 8192 measured best at 1080p on v5e).  <=0 marches the whole batch.
+    tile: int = 8192
+    # True re-enables the per-ray traversal-step debug AOV (the reference's
+    # `steps` counters) via the multi-carry march loop — ~100x slower, see
+    # ops/march_jnp.py.  The default fast path returns steps == 0.
+    steps_aov: bool = False
 
 
 def shade_hits(
@@ -80,7 +85,13 @@ def shade_hits(
         ui = jnp.clip((uv[:, 0] * r).astype(jnp.int32), 0, r - 1)
         vi = jnp.clip((uv[:, 1] * r).astype(jnp.int32), 0, r - 1)
         mi = jnp.clip(res.material, 0, atlas.shape[0] - 1)
-        tex = atlas[mi, vi, ui]
+        # Per-channel 1D gathers: a 3D gather (atlas[mi,vi,ui]) lowers to
+        # one DMA per texel on TPU (~2 us/elem); flat 1D gathers vectorize.
+        lin = (mi * r + vi) * r + ui
+        flat = atlas.reshape(-1, 3)
+        tex = jnp.stack(
+            [flat[:, 0][lin], flat[:, 1][lin], flat[:, 2][lin]], axis=-1
+        )
         tex = jnp.power(jnp.maximum(tex, 1e-6), cfg.gamma)
         diffuse = diffuse * tex
         specular = specular * tex
@@ -183,7 +194,8 @@ def map_shadow(points, shadow_depth, light_vp, light_pos, bias: float = 1e-3):
     uv = ndc[:, :2] * 0.5 + 0.5
     xi = jnp.clip((uv[:, 0] * W).astype(jnp.int32), 0, W - 1)
     yi = jnp.clip(((1.0 - uv[:, 1]) * H).astype(jnp.int32), 0, H - 1)
-    pixel_depth = shadow_depth[yi, xi]
+    # flat 1D gather (2D gathers serialize on TPU; docs/PERF_NOTES.md)
+    pixel_depth = shadow_depth.reshape(-1)[yi * W + xi]
 
     dist = jnp.linalg.norm(points - jnp.asarray(light_pos, dtype=jnp.float32), axis=-1)
     point_depth = inverse_depth(dist)
@@ -208,7 +220,8 @@ def render(
     materials = MaterialTable.default() if materials is None else materials
 
     res = march_tiled(world, origins, dirs, cfg.max_steps,
-                      tile=cfg.tile if cfg.tile > 0 else 1 << 62)
+                      tile=cfg.tile if cfg.tile > 0 else 1 << 62,
+                      steps_aov=cfg.steps_aov)
 
     shadow_factor = None
     if cfg.shadow == "ray":
@@ -235,9 +248,66 @@ def render(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _render_tile(world, o, d, eye, lights, materials, cfg, atlas, shadowmap):
+    return render(world, o, d, eye, lights, materials, cfg, atlas, shadowmap)
+
+
+def render_frame(
+    world: DeviceWorld,
+    origins,
+    dirs,
+    eye,
+    lights: LightRig | None = None,
+    materials: MaterialTable | None = None,
+    cfg: RenderConfig = RenderConfig(),
+    atlas=None,
+    tile: int = 65536,
+):
+    """Full-frame render, host-tiled: ONE per-tile executable dispatched
+    asynchronously from the host over the ray batch.
+
+    This is the fast path for big frames.  `render()` under jit tiles with
+    lax.map, but nesting the march while_loop inside a scan re-serializes
+    every pool gather (~90x on 1080p; docs/PERF_NOTES.md "the single-carry
+    cliff") — dispatching tiles from the host keeps each tile's loop
+    top-level.  Returns the same AOV dict as render(), on device.
+    """
+    lights = LightRig.default() if lights is None else lights
+    materials = MaterialTable.default() if materials is None else materials
+    o = jnp.asarray(origins, dtype=jnp.float32)
+    d = jnp.asarray(dirs, dtype=jnp.float32)
+    n = o.shape[0]
+    eye = jnp.asarray(eye, dtype=jnp.float32)
+
+    shadowmap = None
+    if cfg.shadow == "map":
+        shadowmap = render_shadowmap(world, lights)
+
+    # Tiles march their whole batch in one while loop (tile=0) — the frame
+    # is already split here, and an inner lax.map would hit the slow path.
+    tile_cfg = dataclasses.replace(cfg, tile=0)
+
+    pad = (-n) % tile
+    if pad:
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1e9, dtype=jnp.float32)])
+        d = jnp.concatenate(
+            [d, jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], jnp.float32), (pad, 3))]
+        )
+    outs = []
+    for i in range(0, o.shape[0], tile):
+        outs.append(
+            _render_tile(world, o[i:i + tile], d[i:i + tile], eye,
+                         lights, materials, tile_cfg, atlas, shadowmap)
+        )
+    keys = outs[0].keys()
+    return {k: jnp.concatenate([t[k] for t in outs])[:n] for k in keys}
+
+
 __all__ = [
     "RenderConfig",
     "render",
+    "render_frame",
     "render_shadowmap",
     "map_shadow",
     "ray_shadow",
