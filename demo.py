@@ -65,9 +65,11 @@ def main():
     radius = max(dims[0], dims[2]) * cs * 0.9
     cfg = RenderConfig(shadow="ray")
 
-    @jax.jit
+    from octree_raymarcher_tpu.shade.render import render_frame
+
     def frame_fn(dv, o, d, eye):
-        return render(dv, o, d, eye, cfg=cfg)["rgb"]
+        # host-tiled fast path (render_frame); jit caching is internal
+        return render_frame(dv, o, d, eye, cfg=cfg)["rgb"]
 
     mats = [2, 3, 4, 5]
     for i in range(args.frames):

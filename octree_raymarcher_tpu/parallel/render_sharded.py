@@ -10,6 +10,7 @@ by the mesh size (pad_rays helps).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -38,7 +39,14 @@ def pad_rays(origins, dirs, n_shards: int):
 
 
 def render_sharded(mesh: Mesh, world, origins, dirs, eye, **render_kwargs):
-    """Forward render with rays sharded across the mesh; pools replicated."""
+    """Forward render with rays sharded across the mesh; pools replicated.
+
+    Each device marches its whole shard in ONE top-level while loop
+    (cfg.tile is forced to 0): nesting the march in lax.map inside
+    shard_map would serialize the pool gathers (docs/PERF_NOTES.md).  For
+    big frames prefer render_frame_sharded, which adds host tiling."""
+    cfg = render_kwargs.pop("cfg", RenderConfig())
+    cfg = dataclasses.replace(cfg, tile=0)
 
     @functools.partial(
         shard_map,
@@ -48,10 +56,38 @@ def render_sharded(mesh: Mesh, world, origins, dirs, eye, **render_kwargs):
         check_vma=False,
     )
     def _shard(world_, o, d):
-        out = render(world_, o, d, eye, **render_kwargs)
+        out = render(world_, o, d, eye, cfg=cfg, **render_kwargs)
         return out["rgb"]
 
     return _shard(world, jnp.asarray(origins), jnp.asarray(dirs))
+
+
+def render_frame_sharded(
+    mesh: Mesh, world, origins, dirs, eye, tile: int = 65536, **render_kwargs
+):
+    """Host-tiled + ray-sharded frame: the ray batch is cut into groups of
+    ``n_devices * tile`` rays; each group is one shard_map dispatch where
+    every device marches a ``tile``-ray block in a top-level loop.  Host
+    dispatch is asynchronous, so groups pipeline on the devices — the
+    multi-device analog of shade.render_frame."""
+    n_dev = mesh.devices.size
+    o = jnp.asarray(origins, dtype=jnp.float32)
+    d = jnp.asarray(dirs, dtype=jnp.float32)
+    n = o.shape[0]
+    group = n_dev * tile
+    pad = (-n) % group
+    if pad:
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1e9, dtype=jnp.float32)])
+        d = jnp.concatenate(
+            [d, jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], jnp.float32), (pad, 3))]
+        )
+    outs = []
+    for i in range(0, o.shape[0], group):
+        outs.append(
+            render_sharded(mesh, world, o[i:i + group], d[i:i + group], eye,
+                           **render_kwargs)
+        )
+    return jnp.concatenate(outs)[:n]
 
 
 def march_sharded(mesh: Mesh, world, origins, dirs, max_steps: int = 512):
@@ -110,4 +146,10 @@ def make_sharded_train_step(mesh: Mesh, world, optimizer, max_segments: int = 32
     return train_step
 
 
-__all__ = ["pad_rays", "render_sharded", "march_sharded", "make_sharded_train_step"]
+__all__ = [
+    "pad_rays",
+    "render_sharded",
+    "render_frame_sharded",
+    "march_sharded",
+    "make_sharded_train_step",
+]
