@@ -99,7 +99,8 @@ def main():
     origins = jnp.asarray(origins)
     dirs = jnp.asarray(dirs)
 
-    cfg = RenderConfig(shadow="none", max_steps=512)
+    resident = os.environ.get("BENCH_RESIDENT", "1") == "1"
+    cfg = RenderConfig(shadow="none", max_steps=512, assume_resident=resident)
     tile = int(os.environ.get("BENCH_TILE", "65536"))
 
     # Host-tiled frame (render_frame): one per-tile executable, tiles

@@ -65,11 +65,21 @@ def main():
     radius = max(dims[0], dims[2]) * cs * 0.9
     cfg = RenderConfig(shadow="ray")
 
+    from octree_raymarcher_tpu.shade import default_atlas, save_atlas_png
+    from octree_raymarcher_tpu.shade.envmap import default_envmap
     from octree_raymarcher_tpu.shade.render import render_frame
+
+    # Textured + environment-lit session (reference: PNG atlas Atlas.cpp:29
+    # + cubemap skybox Skybox.cpp:84-107); the atlas sheet is also saved so
+    # the PNG load path is exercised end to end.
+    atlas = jnp.asarray(default_atlas(resolution=32))
+    save_atlas_png(os.path.join(args.out, "atlas.png"), np.asarray(atlas))
+    envmap = jnp.asarray(default_envmap(64, 128))
 
     def frame_fn(dv, o, d, eye):
         # host-tiled fast path (render_frame); jit caching is internal
-        return render_frame(dv, o, d, eye, cfg=cfg)["rgb"]
+        return render_frame(dv, o, d, eye, cfg=cfg, atlas=atlas,
+                            envmap=envmap)["rgb"]
 
     mats = [2, 3, 4, 5]
     for i in range(args.frames):

@@ -79,8 +79,13 @@ def composite(
     params: VoxelParams,
     sky=(0.45, 0.65, 0.95),
     far: float = 8192.0,
+    sky_rgb=None,
 ):
-    """Returns dict(rgb f32[N,3], depth f32[N], opacity f32[N])."""
+    """Returns dict(rgb f32[N,3], depth f32[N], opacity f32[N]).
+
+    ``sky_rgb`` (f32[N,3], optional) overrides the constant ``sky`` with a
+    per-ray background — e.g. an environment map sampled by ray direction
+    (shade/envmap.py); gradients flow through it to the map texels."""
     slot = segments.slot
     valid = slot >= 0
     slot_c = jnp.clip(slot, 0, params.num_slots - 1)
@@ -104,7 +109,12 @@ def composite(
     )  # [N, K, 3]
     rgb = jnp.sum(w[..., None] * albedo, axis=1)
     T_end = jnp.exp(-jnp.sum(tau, axis=1))
-    rgb = rgb + T_end[:, None] * jnp.asarray(sky, dtype=jnp.float32)
+    bg = (
+        jnp.asarray(sky, dtype=jnp.float32)
+        if sky_rgb is None
+        else jnp.asarray(sky_rgb, dtype=jnp.float32)
+    )
+    rgb = rgb + T_end[:, None] * bg
 
     mid = 0.5 * (segments.t0 + segments.t1)
     depth = jnp.sum(w * mid, axis=1) + T_end * jnp.float32(far)
@@ -120,13 +130,21 @@ def render_soft(
     max_segments: int = 32,
     max_steps: int = 512,
     sky=(0.45, 0.65, 0.95),
+    envmap=None,
 ):
-    """Differentiable render = stop-gradient geometry sampling + compositing."""
+    """Differentiable render = stop-gradient geometry sampling + compositing.
+    ``envmap`` (equirect f32[H,W,3]) replaces the constant sky, sampled by
+    ray direction; gradients reach both voxel params and the map."""
     from .segments import sample_segments
 
     segs = sample_segments(world, origins, dirs, max_segments, max_steps)
     segs = jax.lax.stop_gradient(segs)
-    return composite(segs, params, sky)
+    sky_rgb = None
+    if envmap is not None:
+        from ..shade.envmap import sample_env
+
+        sky_rgb = sample_env(envmap, jnp.asarray(dirs, dtype=jnp.float32))
+    return composite(segs, params, sky, sky_rgb=sky_rgb)
 
 
 __all__ = ["VoxelParams", "init_params_from_world", "composite", "render_soft"]

@@ -10,6 +10,19 @@ boundaries are where the reference's dead translucency compositor
 (ParallaxAlpha.Fragment.glsl:200-353) sliced its marched media, generalized
 here to NeRF-style transmittance over per-voxel density.
 
+Performance design (the round-2 rewrite): the naive formulation is ONE
+while loop carrying the growing [N, K] segment arrays — which breaks the
+single-int32-carry rule and serializes every pool gather ~100x
+(docs/PERF_NOTES.md "the single-carry cliff").  ``sample_segments``
+instead runs K *phases*: phase k re-enters the fast single-carry march of
+ops/march_jnp.py (``t_start`` resume) to find the k-th solid cell, then
+reconstructs the segment OUTSIDE the loop (slot from the hit texel/
+material, t_exit from one escape-distance evaluation) and restarts the
+next phase just past it.  All [N, K] state lives between the loops, so
+every in-loop gather stays in the vectorized regime.  Rays that run out
+of solid cells go dead and cost ~nothing in the remaining phases (each
+phase's while loop exits immediately once all its rays are done).
+
 Param slot layout for a DeviceWorld with T twig-pool slots:
   * twig texel:  slot = (chunk_twig_base + twig_index) * 64 + word
   * coarse LEAF: slot = T*64 + material_id   (shared per material)
@@ -25,7 +38,7 @@ from flax import struct
 
 from ..core.constants import EPS, LEAF, TWIG, TWIG_SIZE, TWIG_WORDS
 from ..core.geometry import enter_distance, escape_distance, inv_dir, is_inside
-from ..ops.march_jnp import _descend
+from ..ops.march_jnp import _descend, march
 from ..world.device import DeviceWorld
 
 
@@ -49,7 +62,111 @@ def sample_segments(
     max_steps: int = 512,
     num_materials: int = 8,
 ) -> SegmentBatch:
-    """Collect up to ``max_segments`` solid segments per ray. Lockstep loop."""
+    """Collect up to ``max_segments`` solid segments per ray.
+
+    Fast path: K sequential single-carry marches (see module docstring).
+    Produces the same segments as ``sample_segments_ref`` (the original
+    one-loop formulation, kept as the test oracle)."""
+    world = jax.tree_util.tree_map(jnp.asarray, world)
+    a = jnp.asarray(origins, dtype=jnp.float32)
+    b = jnp.asarray(dirs, dtype=jnp.float32)
+    n = a.shape[0]
+    g = inv_dir(b)
+    eps = jnp.float32(EPS)
+    twig_slots = world.twig.shape[0]
+
+    slots, t0s, t1s = [], [], []
+    count = jnp.zeros(n, dtype=jnp.int32)
+    t_cur = None
+    live = None
+    for _ in range(max_segments):
+        res = march(world, a, b, max_steps, t_start=t_cur, live_start=live)
+        hitm = res.hit
+        hi = hitm.astype(jnp.int32)
+        t_hit = jnp.where(hitm, res.t, 0.0)
+        p = a + b * t_hit[:, None]
+        # Escape of the hit box (texel box inside twigs, else the cell box):
+        # same formula the one-loop sampler used, so t1/cursor agree exactly.
+        esc = escape_distance(
+            p, g, res.cell_bmin, res.cell_bmin + res.cell_size[:, None]
+        )
+        t1 = t_hit + esc
+        slot = jnp.where(
+            hitm,
+            jnp.where(
+                res.texel >= 0,
+                res.texel,
+                twig_slots + jnp.clip(res.material, 0, num_materials - 1),
+            ),
+            -1,
+        )
+        slots.append(slot.astype(jnp.int32))
+        t0s.append(t_hit)
+        t1s.append(jnp.where(hitm, t1, 0.0))
+        count = count + hi
+        t_cur = jnp.where(hitm, t1 + eps, 0.0)
+        live = hi
+    return SegmentBatch(
+        slot=jnp.stack(slots, axis=1),
+        t0=jnp.stack(t0s, axis=1),
+        t1=jnp.stack(t1s, axis=1),
+        count=count,
+    )
+
+
+def sample_segments_frame(
+    world: DeviceWorld,
+    origins,
+    dirs,
+    max_segments: int = 32,
+    max_steps: int = 512,
+    num_materials: int = 8,
+    tile: int = 65536,
+) -> SegmentBatch:
+    """Host-tiled segment sampling for big frames (the geometry analog of
+    shade.render_frame): one jitted per-tile executable dispatched
+    asynchronously over the ray batch, so each tile's march loops exit at
+    that tile's worst ray.  Returns the same SegmentBatch as
+    sample_segments, on device."""
+    o = jnp.asarray(origins, dtype=jnp.float32)
+    d = jnp.asarray(dirs, dtype=jnp.float32)
+    n = o.shape[0]
+    if n <= tile:
+        return jax.jit(sample_segments, static_argnums=(3, 4, 5))(
+            world, o, d, max_segments, max_steps, num_materials
+        )
+    pad = (-n) % tile
+    if pad:
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1e9, dtype=jnp.float32)])
+        d = jnp.concatenate(
+            [d, jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], jnp.float32), (pad, 3))]
+        )
+    fn = jax.jit(sample_segments, static_argnums=(3, 4, 5))
+    outs = [
+        fn(world, o[i : i + tile], d[i : i + tile], max_segments, max_steps,
+           num_materials)
+        for i in range(0, o.shape[0], tile)
+    ]
+    sl = slice(0, n)
+    return SegmentBatch(
+        slot=jnp.concatenate([s.slot for s in outs])[sl],
+        t0=jnp.concatenate([s.t0 for s in outs])[sl],
+        t1=jnp.concatenate([s.t1 for s in outs])[sl],
+        count=jnp.concatenate([s.count for s in outs])[sl],
+    )
+
+
+def sample_segments_ref(
+    world: DeviceWorld,
+    origins,
+    dirs,
+    max_segments: int = 32,
+    max_steps: int = 512,
+    num_materials: int = 8,
+) -> SegmentBatch:
+    """The original one-while-loop sampler (multi-vector carry — runs in
+    the serialized-gather regime, ~100x slower on TPU).  Kept as the
+    equivalence oracle for sample_segments; do not use on the hot path."""
     world = jax.tree_util.tree_map(jnp.asarray, world)
     a = jnp.asarray(origins, dtype=jnp.float32)
     b = jnp.asarray(dirs, dtype=jnp.float32)
@@ -165,4 +282,10 @@ def sample_segments(
     return SegmentBatch(slot=s["slot"], t0=s["seg_t0"], t1=s["seg_t1"], count=s["count"])
 
 
-__all__ = ["SegmentBatch", "sample_segments", "num_param_slots"]
+__all__ = [
+    "SegmentBatch",
+    "sample_segments",
+    "sample_segments_frame",
+    "sample_segments_ref",
+    "num_param_slots",
+]

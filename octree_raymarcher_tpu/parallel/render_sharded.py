@@ -41,10 +41,12 @@ def pad_rays(origins, dirs, n_shards: int):
 def render_sharded(mesh: Mesh, world, origins, dirs, eye, **render_kwargs):
     """Forward render with rays sharded across the mesh; pools replicated.
 
-    Each device marches its whole shard in ONE top-level while loop
-    (cfg.tile is forced to 0): nesting the march in lax.map inside
-    shard_map would serialize the pool gathers (docs/PERF_NOTES.md).  For
-    big frames prefer render_frame_sharded, which adds host tiling."""
+    Returns ONLY the rgb AOV (f32[N,3]); use render()/render_frame() when
+    the full AOV dict is needed.  Each device marches its whole shard in
+    ONE top-level while loop — a caller-set cfg.tile is OVERRIDDEN to 0,
+    because nesting the march in lax.map inside shard_map would serialize
+    the pool gathers (docs/PERF_NOTES.md).  For big frames prefer
+    render_frame_sharded, which adds host tiling."""
     cfg = render_kwargs.pop("cfg", RenderConfig())
     cfg = dataclasses.replace(cfg, tile=0)
 
@@ -69,7 +71,8 @@ def render_frame_sharded(
     ``n_devices * tile`` rays; each group is one shard_map dispatch where
     every device marches a ``tile``-ray block in a top-level loop.  Host
     dispatch is asynchronous, so groups pipeline on the devices — the
-    multi-device analog of shade.render_frame."""
+    multi-device analog of shade.render_frame, except that (like
+    render_sharded) it returns only the rgb AOV, not the full dict."""
     n_dev = mesh.devices.size
     o = jnp.asarray(origins, dtype=jnp.float32)
     d = jnp.asarray(dirs, dtype=jnp.float32)
@@ -107,10 +110,32 @@ def march_sharded(mesh: Mesh, world, origins, dirs, max_steps: int = 512):
     return _shard(world, jnp.asarray(origins), jnp.asarray(dirs))
 
 
-def make_sharded_train_step(mesh: Mesh, world, optimizer, max_segments: int = 32):
+def make_sharded_train_step(
+    mesh: Mesh,
+    world,
+    optimizer,
+    max_segments: int = 32,
+    overlap: bool = False,
+    grad_tiles: int = 4,
+):
     """Returns a jitted train step: rays+targets sharded, params replicated,
-    per-voxel grads psum'd over the rays axis before the optimizer update —
-    the collective rides ICI, exactly the scaling-book DP recipe."""
+    per-voxel grads all-reduced over the rays axis before the optimizer
+    update — the scaling-book DP recipe.
+
+    ``overlap=False`` (the baseline): one backward over the whole shard,
+    then one blocking psum of the full gradients.
+
+    ``overlap=True`` (SURVEY §2.8 / BASELINE config 5): each device's ray
+    shard is split into ``grad_tiles`` sub-tiles; tile i's gradient psum is
+    issued as soon as tile i's backward finishes, so the collective rides
+    ICI *under* tile i+1's sampling+backward compute (XLA's async
+    collectives + latency-hiding scheduler pipeline the independent
+    start/done pairs).  Gradients are mathematically the same sum; floats
+    regroup per tile, so results match the blocking mode to ~1e-6 rel, not
+    bit-for-bit.
+
+    For optimizer-state sharding on top of this (reduce_scatter + sharded
+    Adam + all_gather), see make_zero_train_step below."""
 
     @functools.partial(
         shard_map,
@@ -120,18 +145,42 @@ def make_sharded_train_step(mesh: Mesh, world, optimizer, max_segments: int = 32
         check_vma=False,
     )
     def _grad_shard(world_, params, o, d, target):
-        segs = jax.lax.stop_gradient(
-            sample_segments(world_, o, d, max_segments)
-        )
+        def tile_loss_and_grad(osl, dsl, tsl):
+            segs = jax.lax.stop_gradient(
+                sample_segments(world_, osl, dsl, max_segments)
+            )
 
-        def loss_fn(p):
-            out = composite(segs, p)
-            return jnp.sum((out["rgb"] - target) ** 2)
+            def loss_fn(p):
+                out = composite(segs, p)
+                return jnp.sum((out["rgb"] - tsl) ** 2)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+            return jax.value_and_grad(loss_fn)(params)
+
+        if not overlap:
+            loss, grads = tile_loss_and_grad(o, d, target)
+            loss = jax.lax.psum(loss, RAYS_AXIS)
+            grads = jax.lax.psum(grads, RAYS_AXIS)
+            return loss, grads
+
+        nloc = o.shape[0]
+        ntiles = max(1, min(grad_tiles, nloc))
+        bounds = [round(i * nloc / ntiles) for i in range(ntiles + 1)]
+        loss = jnp.float32(0.0)
+        gsum = None
+        for i in range(ntiles):
+            sl = slice(bounds[i], bounds[i + 1])
+            li, gi = tile_loss_and_grad(o[sl], d[sl], target[sl])
+            # Start tile i's collective now — independent of tile i+1's
+            # backward, so the scheduler overlaps comm with compute.
+            gi = jax.lax.psum(gi, RAYS_AXIS)
+            loss = loss + li
+            gsum = (
+                gi
+                if gsum is None
+                else jax.tree_util.tree_map(jnp.add, gsum, gi)
+            )
         loss = jax.lax.psum(loss, RAYS_AXIS)
-        grads = jax.lax.psum(grads, RAYS_AXIS)
-        return loss, grads
+        return loss, gsum
 
     @jax.jit
     def train_step(params: VoxelParams, opt_state, world_, origins, dirs, targets):
@@ -146,10 +195,139 @@ def make_sharded_train_step(mesh: Mesh, world, optimizer, max_segments: int = 32
     return train_step
 
 
+def _shard_pad(x, n_dev):
+    """Pad leading axis to a multiple of n_dev (for tiled reduce_scatter)."""
+    pad = (-x.shape[0]) % n_dev
+    if pad == 0:
+        return x
+    return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+
+
+def _opt_specs(opt_state):
+    """PartitionSpec tree for a ZeRO-sharded optimizer state: array leaves
+    shard their leading (param-slot) axis, scalars (e.g. Adam's count)
+    replicate."""
+    return jax.tree_util.tree_map(
+        lambda x: P(RAYS_AXIS) if getattr(x, "ndim", 0) >= 1 else P(), opt_state
+    )
+
+
+def make_zero_train_step(
+    mesh: Mesh,
+    world,
+    optimizer,
+    max_segments: int = 32,
+    grad_tiles: int = 4,
+):
+    """ZeRO-1-style sharded-optimizer train step (BASELINE config 5's
+    reduce_scatter path): per-tile voxel grads are reduce_scattered
+    (psum_scatter over the rays axis) as the backward tile loop runs, every
+    device applies the optimizer to only its 1/D gradient shard (optimizer
+    state stored sharded the same way), and the updated parameter shards
+    are all_gathered back to replicated params.  Total comm volume equals
+    one all-reduce, but each scatter is half an all-reduce and starts
+    per-tile (overlapping backward compute), and the optimizer update is
+    1/D the flops and memory per device.
+
+    Returns (init_opt_state, train_step):
+      init_opt_state(params) -> opt state over the device-padded params,
+        leaves sharded along axis 0 (scalars replicated);
+      train_step(params, opt_state, world, origins, dirs, targets)
+        -> (params, opt_state, loss); params replicated, opt_state sharded.
+
+    Numerically matches make_sharded_train_step(overlap=True) up to float
+    reassociation of the gradient sums (~1e-6 rel)."""
+    from jax.sharding import NamedSharding
+
+    n_dev = mesh.devices.size
+
+    def init_opt_state(params):
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        padded = jax.tree_util.tree_map(lambda x: _shard_pad(x, n_dev), params)
+        state = optimizer.init(padded)
+        shardings = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), _opt_specs(state)
+        )
+        return jax.device_put(state, shardings)
+
+    def _step_shard(params, opt_state, world_, o, d, target):
+        n_total = o.shape[0] * n_dev
+
+        def tile_grad(osl, dsl, tsl):
+            segs = jax.lax.stop_gradient(
+                sample_segments(world_, osl, dsl, max_segments)
+            )
+
+            def loss_fn(p):
+                out = composite(segs, p)
+                return jnp.sum((out["rgb"] - tsl) ** 2)
+
+            return jax.value_and_grad(loss_fn)(params)
+
+        nloc = o.shape[0]
+        ntiles = max(1, min(grad_tiles, nloc))
+        bounds = [round(i * nloc / ntiles) for i in range(ntiles + 1)]
+        loss = jnp.float32(0.0)
+        gshard = None
+        for i in range(ntiles):
+            sl = slice(bounds[i], bounds[i + 1])
+            li, gi = tile_grad(o[sl], d[sl], target[sl])
+            # reduce_scatter tile i's grads while tile i+1's backward runs.
+            gi = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum_scatter(
+                    _shard_pad(g, n_dev), RAYS_AXIS, scatter_dimension=0,
+                    tiled=True,
+                ),
+                gi,
+            )
+            loss = loss + li
+            gshard = (
+                gi if gshard is None
+                else jax.tree_util.tree_map(jnp.add, gshard, gi)
+            )
+        loss = jax.lax.psum(loss, RAYS_AXIS)
+        gshard = jax.tree_util.tree_map(lambda g: g / n_total, gshard)
+
+        # Sharded optimizer update on this device's 1/D of the params.
+        idx = jax.lax.axis_index(RAYS_AXIS)
+
+        def my_shard(x):
+            xp = _shard_pad(x, n_dev)
+            sz = xp.shape[0] // n_dev
+            return jax.lax.dynamic_slice_in_dim(xp, idx * sz, sz, axis=0)
+
+        pshard = jax.tree_util.tree_map(my_shard, params)
+        updates, opt_state = optimizer.update(gshard, opt_state, pshard)
+        pshard = jax.tree_util.tree_map(lambda p, u: p + u, pshard, updates)
+
+        # all_gather the updated shards back to replicated params.
+        def gather(x, ref):
+            full = jax.lax.all_gather(x, RAYS_AXIS, axis=0, tiled=True)
+            return full[: ref.shape[0]]
+
+        new_params = jax.tree_util.tree_map(gather, pshard, params)
+        return new_params, opt_state, loss / n_total
+
+    @jax.jit
+    def train_step(params, opt_state, world_, origins, dirs, targets):
+        specs = _opt_specs(opt_state)
+        fn = shard_map(
+            _step_shard,
+            mesh=mesh,
+            in_specs=(P(), specs, P(), P(RAYS_AXIS), P(RAYS_AXIS), P(RAYS_AXIS)),
+            out_specs=(P(), specs, P()),
+            check_vma=False,
+        )
+        return fn(params, opt_state, world_, origins, dirs, targets)
+
+    return init_opt_state, train_step
+
+
 __all__ = [
     "pad_rays",
     "render_sharded",
     "render_frame_sharded",
     "march_sharded",
     "make_sharded_train_step",
+    "make_zero_train_step",
 ]

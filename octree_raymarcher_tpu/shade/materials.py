@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -56,14 +57,19 @@ class MaterialTable:
         gathers to one DMA per index (~2 us/element measured — 283 ms for
         a 32k-ray tile), while a [N,M]x[M,3] matmul is microseconds on the
         MXU and exact (each row sums one x*1.0 term).  Differentiable
-        w.r.t. the tables either way.  docs/PERF_NOTES.md."""
+        w.r.t. the tables either way.  docs/PERF_NOTES.md.
+
+        Precision HIGHEST: the default TPU matmul precision is bf16, which
+        would quantize the table values (~0.4% rel error) and silently
+        diverge from the CPU oracle; at M=8 full precision is free."""
         m = jnp.clip(material_id, 0, self.ambient.shape[0] - 1)
         oh = (m[:, None] == jnp.arange(self.ambient.shape[0])).astype(jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
         return (
-            oh @ self.ambient,
-            oh @ self.diffuse,
-            oh @ self.specular,
-            oh @ self.shininess,
+            jnp.matmul(oh, self.ambient, precision=hi),
+            jnp.matmul(oh, self.diffuse, precision=hi),
+            jnp.matmul(oh, self.specular, precision=hi),
+            jnp.matmul(oh, self.shininess, precision=hi),
         )
 
 

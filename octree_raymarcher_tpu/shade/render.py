@@ -46,10 +46,17 @@ class RenderConfig:
     # ray, so coherent tiles waste fewer lockstep lanes (docs/PERF_NOTES.md;
     # 8192 measured best at 1080p on v5e).  <=0 marches the whole batch.
     tile: int = 8192
-    # True re-enables the per-ray traversal-step debug AOV (the reference's
-    # `steps` counters) via the multi-carry march loop — ~100x slower, see
-    # ops/march_jnp.py.  The default fast path returns steps == 0.
-    steps_aov: bool = False
+    # Static-world fast path: skip the per-step chunk-residency gathers
+    # (valid until a shift() makes the chunk table partially stale mid-
+    # stream; tested equivalent on static worlds).  ~20% fewer in-loop
+    # gathers at 1080p.
+    assume_resident: bool = False
+    # Per-ray traversal-step debug AOV (the reference's `steps` counters):
+    # False (default) returns steps == 0 at full speed; "coarse" counts
+    # steps quantized to ~16 via the staged fast loop at ~1x cost (the
+    # profiling mode); True counts exactly via the multi-carry loop at
+    # ~100x cost.  See ops/march_jnp.py.
+    steps_aov: "bool | str" = False
 
 
 def shade_hits(
@@ -62,9 +69,10 @@ def shade_hits(
     cfg: RenderConfig,
     shadow_factor=None,
     atlas=None,
+    envmap=None,
 ):
     """Shade a MarchResult into RGB + AOVs. Differentiable w.r.t. lights,
-    materials, atlas."""
+    materials, atlas, and the miss environment map."""
     a = jnp.asarray(origins, dtype=jnp.float32)
     b = jnp.asarray(dirs, dtype=jnp.float32)
     t_hit = jnp.where(res.hit, res.t, jnp.float32(0.0))
@@ -104,7 +112,14 @@ def shade_hits(
     eye_v = jnp.asarray(eye, dtype=jnp.float32)
     rgb = lights.shade(n, p, eye_v, diffuse, specular, shininess, shadow)
 
-    sky = jnp.asarray(cfg.sky, dtype=jnp.float32)
+    if envmap is not None:
+        # Direction-sampled environment for misses (the reference's
+        # infinite-depth cubemap skybox, src/Skybox.cpp:84-107).
+        from .envmap import sample_env
+
+        sky = sample_env(envmap, b)
+    else:
+        sky = jnp.asarray(cfg.sky, dtype=jnp.float32)
     hit3 = res.hit[:, None]
     rgb = jnp.where(hit3, rgb, sky)
 
@@ -122,12 +137,15 @@ def shade_hits(
 
 
 def ray_shadow(world: DeviceWorld, res, points, normals, lights: LightRig, cfg):
-    """Hard shadow by marching from each hit toward the directional light."""
+    """Hard shadow by marching from each hit toward the directional light.
+    Miss pixels start their shadow ray dead (live_start=0) — their "start
+    point" is garbage at t=0 and would otherwise march max_steps for free."""
     ldir = -lights.directional.direction
     ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir), 1e-12)
     start = points + normals * jnp.float32(4 * EPS)
     sres = march_tiled(world, start, jnp.broadcast_to(ldir, start.shape),
-                       cfg.max_steps, tile=cfg.tile if cfg.tile > 0 else 1 << 62)
+                       cfg.max_steps, tile=cfg.tile if cfg.tile > 0 else 1 << 62,
+                       live_start=res.hit.astype(jnp.int32))
     return (res.hit & sres.hit).astype(jnp.float32)
 
 
@@ -213,6 +231,7 @@ def render(
     cfg: RenderConfig = RenderConfig(),
     atlas=None,
     shadowmap=None,
+    envmap=None,
 ):
     """Full forward pass over a ray batch. Returns dict of AOVs (rgb, depth,
     hit, material, steps, point, normal)."""
@@ -221,7 +240,8 @@ def render(
 
     res = march_tiled(world, origins, dirs, cfg.max_steps,
                       tile=cfg.tile if cfg.tile > 0 else 1 << 62,
-                      steps_aov=cfg.steps_aov)
+                      steps_aov=cfg.steps_aov,
+                      assume_resident=cfg.assume_resident)
 
     shadow_factor = None
     if cfg.shadow == "ray":
@@ -244,13 +264,16 @@ def render(
         ) * res.hit.astype(jnp.float32)
 
     return shade_hits(
-        res, origins, dirs, eye, lights, materials, cfg, shadow_factor, atlas
+        res, origins, dirs, eye, lights, materials, cfg, shadow_factor, atlas,
+        envmap,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _render_tile(world, o, d, eye, lights, materials, cfg, atlas, shadowmap):
-    return render(world, o, d, eye, lights, materials, cfg, atlas, shadowmap)
+def _render_tile(world, o, d, eye, lights, materials, cfg, atlas, shadowmap,
+                 envmap):
+    return render(world, o, d, eye, lights, materials, cfg, atlas, shadowmap,
+                  envmap)
 
 
 def render_frame(
@@ -263,6 +286,7 @@ def render_frame(
     cfg: RenderConfig = RenderConfig(),
     atlas=None,
     tile: int = 65536,
+    envmap=None,
 ):
     """Full-frame render, host-tiled: ONE per-tile executable dispatched
     asynchronously from the host over the ray batch.
@@ -298,7 +322,8 @@ def render_frame(
     for i in range(0, o.shape[0], tile):
         outs.append(
             _render_tile(world, o[i:i + tile], d[i:i + tile], eye,
-                         lights, materials, tile_cfg, atlas, shadowmap)
+                         lights, materials, tile_cfg, atlas, shadowmap,
+                         envmap)
         )
     keys = outs[0].keys()
     return {k: jnp.concatenate([t[k] for t in outs])[:n] for k in keys}

@@ -124,8 +124,10 @@ class NativeFreeList:
         return [[off[i], sz[i]] for i in range(m)]
 
     def check(self) -> None:
+        """Same invariant as the Python twin: sorted, non-overlapping, and
+        never adjacent (fl_give must coalesce neighbours)."""
         for a, b in zip(self.spans, self.spans[1:]):
-            assert a[0] + a[1] <= b[0], (a, b)
+            assert a[0] + a[1] < b[0], (a, b)
 
 
 def native_march(world, origins, dirs, max_steps: int = 640):

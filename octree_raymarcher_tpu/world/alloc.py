@@ -80,8 +80,12 @@ class FreeList:
         return sum(sz for _, sz in self.spans)
 
     def check(self) -> None:
+        """Invariants: spans sorted, non-overlapping, and never adjacent
+        (give() must have coalesced them)."""
         for a, b in zip(self.spans, self.spans[1:]):
-            assert a[0] + a[1] < b[0] or (a[0] + a[1] <= b[0]), (a, b)
+            assert a[0] + a[1] < b[0], (a, b)
+        for off, sz in self.spans:
+            assert sz > 0 and 0 <= off and off + sz <= self.capacity, (off, sz)
 
 
 @dataclasses.dataclass
@@ -163,6 +167,35 @@ def _grow_device(arr, new_len: int):
 @partial(jax.jit, donate_argnums=0, static_argnames=())
 def _patch(pool, seg, offset):
     return jax.lax.dynamic_update_slice(pool, seg, (offset,))
+
+
+# Bucketed variant: jits on the power-of-two BUCKET size, not the exact
+# dirty-range length, so a long editing session compiles O(log max_len)
+# executables instead of one per distinct dirty length (each TPU compile
+# through the tunnel costs seconds-to-minutes).  The bucket's tail beyond
+# the real segment is refilled with the pool's current content.
+@partial(jax.jit, donate_argnums=0, static_argnames=())
+def _patch_blend(pool, seg_padded, offset, n):
+    cur = jax.lax.dynamic_slice(pool, (offset,), (seg_padded.shape[0],))
+    keep = jnp.arange(seg_padded.shape[0], dtype=jnp.int32) < n
+    seg = jnp.where(keep, seg_padded, cur)
+    return jax.lax.dynamic_update_slice(pool, seg, (offset,))
+
+
+def _patch_range(pool, host_seg: np.ndarray, offset: int):
+    """Patch ``pool[offset : offset+len(host_seg)] = host_seg`` using a
+    power-of-two bucketed executable (see _patch_blend).  Falls back to an
+    exact-size patch when the bucket would spill past the pool end
+    (dynamic_update_slice clamps start indices, which would misalign)."""
+    n = int(host_seg.shape[0])
+    bucket = 1 << (n - 1).bit_length() if n > 1 else 1
+    if offset + bucket > int(pool.shape[0]) or bucket == n:
+        return _patch(pool, jnp.asarray(host_seg), jnp.int32(offset))
+    padded = np.zeros(bucket, dtype=host_seg.dtype)
+    padded[:n] = host_seg
+    return _patch_blend(
+        pool, jnp.asarray(padded), jnp.int32(offset), jnp.int32(n)
+    )
 
 
 class WorldAllocator:
@@ -263,8 +296,7 @@ class WorldAllocator:
         else:
             lo, hi = max(0, dtree.left), min(chunk.ntrees, dtree.right)
         if hi > lo:
-            seg = jnp.asarray(chunk.tree[lo:hi])
-            tree = _patch(tree, seg, jnp.int32(blk_t.offset + lo))
+            tree = _patch_range(tree, np.asarray(chunk.tree[lo:hi]), blk_t.offset + lo)
 
         # Twig pool (+ occupancy mirror): same policy, twig-index granular.
         if moved_w or dtwig.realloc:
@@ -273,13 +305,9 @@ class WorldAllocator:
             lo, hi = max(0, dtwig.left), min(chunk.ntwigs, dtwig.right)
         if hi > lo:
             host = chunk.twig[lo:hi].astype(np.uint32).reshape(-1)
-            twig = _patch(
-                twig, jnp.asarray(host), jnp.int32((blk_w.offset + lo) * TWIG_WORDS)
-            )
-            occ = _patch(
-                occ,
-                jnp.asarray(occupancy_masks(host)),
-                jnp.int32((blk_w.offset + lo) * 2),
+            twig = _patch_range(twig, host, (blk_w.offset + lo) * TWIG_WORDS)
+            occ = _patch_range(
+                occ, occupancy_masks(host), (blk_w.offset + lo) * 2
             )
 
         return dev.replace(

@@ -32,6 +32,11 @@ _OCTANT = [(i & 1, (i >> 1) & 1, (i >> 2) & 1) for i in range(8)]  # x+2y+4z ord
 def to_dense(chunk: Chunk) -> np.ndarray:
     """Rasterize the octree to uint16[R, R, R] materials, indexed [z, y, x]
     (the twig word order z*16 + y*4 + x extended to the whole chunk)."""
+    assert chunk.depth <= 9, (
+        f"dense-grid defrag/LOD materializes (2^depth)^3 uint16 "
+        f"({(1 << chunk.depth) ** 3 * 2 / 2**20:.0f} MiB at depth "
+        f"{chunk.depth}); use depth <= 9 or add a level-sparse path"
+    )
     R = 1 << chunk.depth
     grid = np.zeros((R, R, R), dtype=np.uint16)
     # (node index, x0, y0, z0, cell edge in texels)

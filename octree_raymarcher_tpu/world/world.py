@@ -199,6 +199,15 @@ class World:
                     i = self.index(cx, cy, cz)
                     self.chunks[i] = self._make_chunk(cx, cy, cz)
                     touched.append(i)
+        # Evict pyramids that scrolled out of the live (x,z) window; without
+        # this a long streaming session caches every column ever visited
+        # (the reference's fixed torus has nothing to evict, World.cpp:334).
+        x0, z0 = int(lo[0]), int(lo[2])
+        self.pyramids = {
+            k: v
+            for k, v in self.pyramids.items()
+            if x0 <= k[0] < x0 + w and z0 <= k[1] < z0 + d
+        }
         return touched
 
     def apply_shift(self, wa: WorldAllocator, dev: DeviceWorld, touched) -> DeviceWorld:

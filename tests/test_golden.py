@@ -108,3 +108,43 @@ def test_golden_soft_composite(scene):
     params = init_params_from_world(dev)
     out = render_soft(dev, params, jnp.asarray(o), jnp.asarray(d))
     _check("soft_2x1x2_d5", _thumb(out["rgb"], 27, 48, k=3), atol=3e-2)
+
+
+def test_golden_render_frame_path(scene):
+    """The host-tiled render_frame path (what bench.py times) reproduces
+    the same golden as render()."""
+    import jax.numpy as jnp
+
+    from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
+    from octree_raymarcher_tpu.shade.render import RenderConfig, render_frame
+
+    _, dev = scene
+    cam = PerspectiveCamera(position=(32.0, 30.0, -20.0), yaw_deg=0.0,
+                            pitch_deg=-20.0, fov_deg=70.0, width=96, height=54)
+    o, d = cam.rays()
+    out = render_frame(dev, jnp.asarray(o), jnp.asarray(d),
+                       jnp.asarray(cam.position, dtype=jnp.float32),
+                       cfg=RenderConfig(shadow="none"), tile=1000)
+    _check("plain_2x1x2_d5", _thumb(out["rgb"], 54, 96))
+
+
+def test_golden_textured_envmap(scene):
+    """Textured (procedural atlas) + environment-map render is pinned —
+    the reference's PNG-atlas + skybox frame (Atlas.cpp:29, Skybox.cpp:84)."""
+    import jax.numpy as jnp
+
+    from octree_raymarcher_tpu.shade import default_atlas
+    from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
+    from octree_raymarcher_tpu.shade.envmap import default_envmap
+    from octree_raymarcher_tpu.shade.render import RenderConfig, render
+
+    _, dev = scene
+    cam = PerspectiveCamera(position=(32.0, 30.0, -20.0), yaw_deg=0.0,
+                            pitch_deg=-20.0, fov_deg=70.0, width=96, height=54)
+    o, d = cam.rays()
+    atlas = jnp.asarray(default_atlas(resolution=16, seed=0))
+    env = jnp.asarray(default_envmap(32, 64))
+    out = render(dev, jnp.asarray(o), jnp.asarray(d),
+                 jnp.asarray(cam.position, dtype=jnp.float32),
+                 cfg=RenderConfig(shadow="none"), atlas=atlas, envmap=env)
+    _check("textured_env_2x1x2_d5", _thumb(out["rgb"], 54, 96))

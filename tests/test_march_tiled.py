@@ -31,3 +31,56 @@ def test_tiled_equals_untiled(rng):
     np.testing.assert_array_equal(
         np.asarray(r1.cell_bmin), np.asarray(r2.cell_bmin)
     )
+
+
+def test_steps_aov_coarse_bounds_exact(rng):
+    """steps_aov='coarse' (staged fast loop) must bound the exact counter:
+    exact <= coarse < exact + stride, with identical hit/t results."""
+    w = World.generate(dims=(2, 1, 2), chunksize=32.0, depth=5, seed=3,
+                       water_level=4.0, amplitude=16.0)
+    _, dev = w.to_device()
+    n = 512
+    origins = np.stack(
+        [rng.uniform(-10, 74, n), rng.uniform(5, 60, n), rng.uniform(-10, 74, n)],
+        axis=1,
+    ).astype(np.float32)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    exact = march(dev, origins, dirs, steps_aov=True)
+    coarse = march(dev, origins, dirs, steps_aov="coarse", steps_stride=8)
+
+    np.testing.assert_array_equal(np.asarray(exact.hit), np.asarray(coarse.hit))
+    np.testing.assert_array_equal(
+        np.asarray(exact.t)[np.asarray(exact.hit)],
+        np.asarray(coarse.t)[np.asarray(exact.hit)],
+    )
+    es = np.asarray(exact.steps)
+    cs = np.asarray(coarse.steps)
+    assert (cs >= es).all(), (es[cs < es], cs[cs < es])
+    # A ray that goes dead at the start of a stage is not counted by the
+    # exact counter for that iteration but the stage still charges it, so
+    # the overcount can reach exactly the stride.
+    assert (cs <= es + 8).all(), int((cs - es).max())
+
+
+def test_assume_resident_matches_default_on_static_world(rng):
+    """assume_resident=True (skips per-step residency gathers — what
+    bench.py runs) must be bit-identical on a static world."""
+    w = World.generate(dims=(2, 1, 2), chunksize=32.0, depth=5, seed=3,
+                       water_level=4.0, amplitude=16.0)
+    _, dev = w.to_device()
+    n = 600
+    origins = np.stack(
+        [rng.uniform(-10, 74, n), rng.uniform(5, 60, n), rng.uniform(-10, 74, n)],
+        axis=1,
+    ).astype(np.float32)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    r1 = march(dev, origins, dirs)
+    r2 = march(dev, origins, dirs, assume_resident=True)
+    np.testing.assert_array_equal(np.asarray(r1.hit), np.asarray(r2.hit))
+    np.testing.assert_array_equal(np.asarray(r1.material), np.asarray(r2.material))
+    np.testing.assert_array_equal(np.asarray(r1.t), np.asarray(r2.t))
+    np.testing.assert_array_equal(np.asarray(r1.texel), np.asarray(r2.texel))

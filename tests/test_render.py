@@ -117,3 +117,52 @@ def test_ortho_camera_render(dworld):
     origins, dirs = cam.rays()
     out = render(dworld, origins, dirs, cam.position)
     assert np.asarray(out["hit"]).mean() > 0.9  # top-down view sees terrain
+
+
+def test_render_frame_matches_render(dworld, cam_rays):
+    """render_frame (the exact path bench.py times) must equal render()
+    AOV-for-AOV, including the padding edge (ray count not a multiple of
+    the host tile) and the shadow-map precompute."""
+    from octree_raymarcher_tpu.shade import render_frame
+
+    (origins, dirs), eye = cam_rays
+    n = origins.shape[0]
+    assert n % 7 != 0  # make sure the chosen tile really exercises padding
+
+    for shadow in ("none", "map"):
+        cfg = RenderConfig(shadow=shadow)
+        ref = render(dworld, origins, dirs, eye, cfg=cfg)
+        # tile=700 does not divide 1536 -> padded last tile
+        out = render_frame(dworld, origins, dirs, eye, cfg=cfg, tile=700)
+        assert set(out.keys()) == set(ref.keys())
+        for k in ref:
+            a, b = np.asarray(ref[k]), np.asarray(out[k])
+            assert a.shape == b.shape, (k, a.shape, b.shape)
+            np.testing.assert_allclose(
+                a, b, atol=1e-6,
+                err_msg=f"render_frame AOV {k!r} diverged from render "
+                        f"(shadow={shadow})",
+            )
+
+
+def test_render_frame_sharded_matches_render_frame(dworld, cam_rays):
+    """The multi-device frame path agrees with the single-device frame path
+    (and hence, transitively, with render())."""
+    from octree_raymarcher_tpu.parallel.mesh import make_mesh
+    from octree_raymarcher_tpu.parallel.render_sharded import (
+        pad_rays,
+        render_frame_sharded,
+    )
+    from octree_raymarcher_tpu.shade import render_frame
+
+    (origins, dirs), eye = cam_rays
+    cfg = RenderConfig(shadow="none")
+    ref = render_frame(dworld, origins, dirs, eye, cfg=cfg, tile=512)["rgb"]
+
+    mesh = make_mesh(jax.devices()[:8])
+    o, d, n = pad_rays(np.asarray(origins), np.asarray(dirs), 8)
+    rgb = render_frame_sharded(mesh, dworld, o, d, eye, tile=64, cfg=cfg)[:n]
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(rgb), atol=1e-6,
+        err_msg="render_frame_sharded diverged from render_frame",
+    )

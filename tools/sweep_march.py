@@ -69,7 +69,12 @@ def main():
 
     for tile, unroll in itertools.product(tiles, unrolls):
         def f(o, d, tile=tile, unroll=unroll):
-            r = march_tiled(world, o, d, 512, tile=tile, unroll=unroll)
+            # steps_aov="coarse": the staged fast loop counts steps
+            # (quantized up to steps_stride) at ~1x cost, so the stats
+            # columns are real without distorting the timing ~100x the way
+            # the exact multi-carry counter would (ADVICE r1).
+            r = march_tiled(world, o, d, 512, tile=tile, unroll=unroll,
+                            steps_aov="coarse", steps_stride=8)
             # on-device stats only; no readback here
             return (r.hit.astype(jnp.int32).sum(), r.steps.sum(),
                     jnp.percentile(r.steps.astype(jnp.float32),
