@@ -44,34 +44,39 @@ def init_params_from_world(
 ) -> VoxelParams:
     """Initialize params so the soft render approximates the hard render:
     solid voxels opaque with their material's diffuse color, empty voxels
-    transparent."""
+    transparent.
+
+    Pure jnp on purpose: the twig pool is usually already ON DEVICE here,
+    and a single ``np.asarray(world.twig)`` readback permanently flips an
+    axon-tunnel process into synchronous per-kernel dispatch (the readback
+    curse, docs/PERF_NOTES.md) — bench_diff measured its geometry pass 600x
+    slow from exactly that before this function went device-side."""
     import numpy as np
 
     from ..shade.materials import MaterialTable
 
     materials = MaterialTable.default() if materials is None else materials
-    twig = np.asarray(world.twig)
-    P = twig.shape[0] + num_materials
+    twig = jnp.asarray(world.twig).astype(jnp.int32)
 
-    mats = np.concatenate([twig, np.arange(num_materials, dtype=twig.dtype)])
+    mats = jnp.concatenate([twig, jnp.arange(num_materials, dtype=jnp.int32)])
     solid = mats != 0
 
-    def softplus_inv(y):
-        return float(np.log(np.expm1(np.maximum(y, 1e-6))))
+    # softplus^-1 of the scalar target density (host float math only)
+    dr_solid = float(np.log(np.expm1(max(float(solid_density), 1e-6))))
+    density_raw = jnp.where(
+        solid, jnp.float32(dr_solid), jnp.float32(-8.0)
+    ).astype(jnp.float32)
 
-    density_raw = np.where(
-        solid, np.float32(softplus_inv(solid_density)), np.float32(-8.0)
-    ).astype(np.float32)
-
-    diffuse = np.asarray(materials.diffuse)
-    colors = diffuse[np.clip(mats, 0, diffuse.shape[0] - 1)]
-    albedo_raw = np.log(
-        np.clip(colors, 1e-4, 1 - 1e-4) / (1 - np.clip(colors, 1e-4, 1 - 1e-4))
-    ).astype(np.float32)
-
-    return VoxelParams(
-        density_raw=jnp.asarray(density_raw), albedo_raw=jnp.asarray(albedo_raw)
+    diffuse = jnp.asarray(materials.diffuse, dtype=jnp.float32)
+    mc = jnp.clip(mats, 0, diffuse.shape[0] - 1)
+    # channel-wise 1D gathers (2D row gathers serialize on TPU)
+    colors = jnp.stack(
+        [diffuse[:, 0][mc], diffuse[:, 1][mc], diffuse[:, 2][mc]], axis=-1
     )
+    c = jnp.clip(colors, 1e-4, 1 - 1e-4)
+    albedo_raw = jnp.log(c / (1 - c)).astype(jnp.float32)
+
+    return VoxelParams(density_raw=density_raw, albedo_raw=albedo_raw)
 
 
 def composite(

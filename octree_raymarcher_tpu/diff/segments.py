@@ -114,6 +114,15 @@ def sample_segments(
     )
 
 
+# ONE module-level jit wrapper: re-wrapping jax.jit(sample_segments) per
+# call makes every frame re-trace and re-compile each tile (~3.8 s/tile
+# through the axon tunnel even with the persistent cache warm — measured
+# 122 s/frame at 1080p K=16 before this was hoisted; tools/diag_segments.py
+# localized it).  The wrapper instance owns the dispatch cache, so it must
+# be created once, like shade/render.py's render_frame jit.
+_sample_segments_jit = jax.jit(sample_segments, static_argnums=(3, 4, 5))
+
+
 def sample_segments_frame(
     world: DeviceWorld,
     origins,
@@ -132,7 +141,7 @@ def sample_segments_frame(
     d = jnp.asarray(dirs, dtype=jnp.float32)
     n = o.shape[0]
     if n <= tile:
-        return jax.jit(sample_segments, static_argnums=(3, 4, 5))(
+        return _sample_segments_jit(
             world, o, d, max_segments, max_steps, num_materials
         )
     pad = (-n) % tile
@@ -141,10 +150,10 @@ def sample_segments_frame(
         d = jnp.concatenate(
             [d, jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], jnp.float32), (pad, 3))]
         )
-    fn = jax.jit(sample_segments, static_argnums=(3, 4, 5))
     outs = [
-        fn(world, o[i : i + tile], d[i : i + tile], max_segments, max_steps,
-           num_materials)
+        _sample_segments_jit(
+            world, o[i : i + tile], d[i : i + tile], max_segments, max_steps,
+            num_materials)
         for i in range(0, o.shape[0], tile)
     ]
     sl = slice(0, n)

@@ -190,3 +190,22 @@ def test_fast_sampler_oblique_rays(dworld):
     np.testing.assert_allclose(
         np.asarray(fast.t0)[both], np.asarray(ref.t0)[both], rtol=1e-5, atol=1e-4
     )
+
+
+def test_frame_sampler_does_not_retrace(dworld, rays):
+    """Repeated sample_segments_frame calls must reuse ONE jit dispatch
+    cache entry per (shape, statics) — a per-call jax.jit re-wrap retraces
+    and recompiles every tile every frame (~3.8 s/tile through the TPU
+    tunnel; measured 122 s/frame at 1080p before the wrapper was hoisted
+    to module level)."""
+    from octree_raymarcher_tpu.diff.segments import (
+        _sample_segments_jit,
+        sample_segments_frame,
+    )
+
+    origins, dirs = rays
+    sample_segments_frame(dworld, origins, dirs, max_segments=4, tile=64)
+    size0 = _sample_segments_jit._cache_size()
+    for _ in range(3):
+        sample_segments_frame(dworld, origins, dirs, max_segments=4, tile=64)
+    assert _sample_segments_jit._cache_size() == size0

@@ -1,0 +1,189 @@
+"""Gather-bound roofline for the march loop (VERDICT r1 #9).
+
+The 1080p march is not FLOP- or HBM-stream-bound: its cost is the issue
+rate of per-lane gathers inside a single-int32-carry while loop (the fast
+regime of docs/PERF_NOTES.md).  So "speed of light" here = the iteration
+rate of a loop that does NOTHING but the same gather pattern as the march
+body and the minimal carry update:
+
+  * ``assume_resident`` march body gathers / iteration (ops/march_jnp.py):
+      2  chunk offset columns   (chunk_tree[ci], chunk_twig[ci])
+      D+1 tree words            (unrolled dependent descent chain)
+      1  twig occupancy word
+    = D+12-9... = (D+1)+3 = 12 for depth 8.
+    The tree-descent gathers are a *dependent* chain (each address needs
+    the previous word); the synthetic loop reproduces that dependence.
+
+This tool measures, on the real TPU:
+  1. SoL: iterations/s of the synthetic 12-gather single-carry loop at the
+     bench tile size (and a 1-gather loop for the per-gather cost).
+  2. Achieved: executed lane-iterations/s of the actual 1080p bench frame,
+     counted with the coarse steps AOV (per-tile trip counts: each tile
+     runs to ITS max live ray, so executed lanes = sum over tiles of
+     tile_width * stage-quantized max steps).
+  3. Lane utilization: sum of true per-ray steps / executed lane-iters
+     (lockstep waste).
+
+Prints a JSON summary; paste the headline into docs/PERF_NOTES.md.
+
+Run alone (never concurrently with another TPU process — CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def note(msg):
+    print(f"# roofline: {msg}", file=sys.stderr, flush=True)
+
+
+def time_iters_per_s(fn, args, iters=5):
+    import jax
+
+    out = jax.block_until_ready(fn(*args))
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters, out
+
+
+def synthetic_loop_rate(tile: int, n_gathers_dep: int, n_gathers_indep: int,
+                        pool_elems: int, max_steps: int):
+    """Iterations/s of a single-int32-carry while loop whose body performs
+    ``n_gathers_dep`` chained (address-dependent) gathers plus
+    ``n_gathers_indep`` independent gathers into an int32 pool of
+    ``pool_elems`` elements, mirroring the march body's memory pattern."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    pool = jnp.asarray(
+        rng.integers(0, 1 << 20, size=pool_elems, dtype=np.int64).astype(np.int32)
+    )
+    state0 = jnp.asarray(
+        rng.integers(0, pool_elems, size=tile, dtype=np.int64).astype(np.int32)
+    )
+    mask = pool_elems - 1
+    assert pool_elems & mask == 0, "pool_elems must be a power of two"
+
+    @jax.jit
+    def run(pool, state0):
+        def body(s):
+            state, step = s
+            w = state
+            # dependent chain: each address derives from the previous word
+            for _ in range(n_gathers_dep):
+                w = pool[(w + state) & mask]
+            acc = w
+            for k in range(n_gathers_indep):
+                acc = acc + pool[(state + k * 1297) & mask]
+            # fold the gathered data into the carry so nothing is DCE'd
+            state = state + 1 + (acc & 1)
+            return (state, step + 1)
+
+        def cond(s):
+            return s[1] < max_steps
+
+        state, _ = jax.lax.while_loop(cond, body, (state0, jnp.int32(0)))
+        return state
+
+    dt, _ = time_iters_per_s(run, (pool, state0))
+    return tile * max_steps / dt  # lane-iterations / s
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from octree_raymarcher_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    sys.path.insert(0, ".")
+    from bench import build_world
+    from octree_raymarcher_tpu.ops.march_jnp import march_tiled
+    from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
+    from octree_raymarcher_tpu.shade.tiling import block_permutation
+
+    tile = 65536
+    max_steps = 512
+    stride = 16
+
+    note("building world + rays")
+    world = build_world()
+    world = jax.tree_util.tree_map(jnp.asarray, world)
+    depth = world.depth
+    cam = PerspectiveCamera(
+        position=(256.0, 90.0, -80.0), yaw_deg=0.0, pitch_deg=-12.0,
+        fov_deg=80.0, width=1920, height=1080,
+    )
+    origins, dirs = cam.rays()
+    perm, _ = block_permutation(cam.height, cam.width, 128)
+    origins = jnp.asarray(origins[perm])
+    dirs = jnp.asarray(dirs[perm])
+    n_rays = origins.shape[0]
+    jax.block_until_ready(world.tree)
+
+    # --- 1. the march itself (bench configuration, no shading) -------------
+    @jax.jit
+    def frame(w, o, d):
+        r = march_tiled(w, o, d, max_steps=max_steps, tile=tile,
+                        assume_resident=True)
+        return r.hit, r.t
+
+    note("timing bench-config march")
+    dt_march, _ = time_iters_per_s(frame, (world, origins, dirs))
+    rays_per_s = n_rays / dt_march
+
+    # --- 2. executed lane-iterations via the coarse steps AOV --------------
+    # (separate untimed pass; coarse mode is ~1x but staging differs)
+    @jax.jit
+    def frame_steps(w, o, d):
+        r = march_tiled(w, o, d, max_steps=max_steps, tile=tile,
+                        assume_resident=True, steps_aov="coarse",
+                        steps_stride=stride)
+        return r.steps
+
+    note("counting executed iterations (coarse steps AOV)")
+    steps = np.asarray(jax.block_until_ready(frame_steps(world, origins, dirs)))
+    pad = (-n_rays) % tile
+    steps_p = np.concatenate([steps, np.zeros(pad, np.int32)]).reshape(-1, tile)
+    # each tile executes to its max live ray, in stages quantized to stride
+    per_tile_trips = np.ceil(steps_p.max(axis=1) / stride) * stride
+    executed_lane_iters = float((per_tile_trips * tile).sum())
+    true_ray_steps = float(steps.sum())  # upper estimate (quantized up)
+    lane_util = true_ray_steps / executed_lane_iters
+    achieved_iters_per_s = executed_lane_iters / dt_march
+
+    # --- 3. synthetic speed-of-light loops ----------------------------------
+    pool_elems = 1 << int(np.ceil(np.log2(max(world.tree.shape[0], 2))))
+    note(f"synthetic loops (pool={pool_elems} words, tile={tile})")
+    g1 = synthetic_loop_rate(tile, 1, 0, pool_elems, 256)
+    # march body: depth+1 dependent tree gathers, 3 independent
+    # (chunk_tree, chunk_twig, twig_occ)
+    gm = synthetic_loop_rate(tile, depth + 1, 3, pool_elems, 256)
+
+    frac = achieved_iters_per_s / gm
+    out = {
+        "rays_per_s_march_only": round(rays_per_s),
+        "frame_ms_march_only": round(dt_march * 1e3, 2),
+        "executed_lane_iters_per_frame": executed_lane_iters,
+        "achieved_lane_iters_per_s": round(achieved_iters_per_s),
+        "lane_utilization": round(lane_util, 3),
+        "sol_iters_per_s_12gather": round(gm),
+        "sol_iters_per_s_1gather": round(g1),
+        "march_pct_of_gather_sol": round(100 * frac, 1),
+        "gathers_per_iter": depth + 4,
+        "device": jax.devices()[0].device_kind,
+    }
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
