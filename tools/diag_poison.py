@@ -150,6 +150,40 @@ def main():
             return t[i].sum()
 
         jax.block_until_ready(f(tbl, idx))
+
+    elif which == "gather2d":
+        tbl = jnp.zeros(7_737_352, jnp.float32)
+        idx2 = jnp.clip(segs.slot, 0, tbl.shape[0] - 1)  # [tile, K] 2-D indices
+
+        @jax.jit
+        def f(t, i):
+            return t[i].sum()
+
+        jax.block_until_ready(f(tbl, idx2))
+    elif which == "cumsum":
+        x = jnp.abs(segs.t1 - segs.t0)
+
+        @jax.jit
+        def f(v):
+            return jnp.cumsum(v, axis=1).sum()
+
+        jax.block_until_ready(f(x))
+    elif which == "closure":
+        big = jnp.zeros((tile, 3), jnp.float32)  # closed-over device array
+
+        @jax.jit
+        def f(x):
+            return ((x + big) ** 2).mean()
+
+        jax.block_until_ready(f(jnp.ones((tile, 3), jnp.float32)))
+    elif which == "where":
+        valid = segs.slot >= 0
+
+        @jax.jit
+        def f(v, a):
+            return jnp.where(v, a, 0.0).sum()
+
+        jax.block_until_ready(f(valid, segs.t0))
     else:
         raise SystemExit(f"unknown candidate {which}")
 
