@@ -56,9 +56,14 @@ def init_params_from_world(
     from ..shade.materials import MaterialTable
 
     materials = MaterialTable.default() if materials is None else materials
-    twig = jnp.asarray(world.twig).astype(jnp.int32)
-
-    mats = jnp.concatenate([twig, jnp.arange(num_materials, dtype=jnp.int32)])
+    # Clip in the twig pool's NATIVE (unsigned) dtype before any signed
+    # cast: a word >= 2^31 cast to int32 flips negative and jnp.clip would
+    # silently remap it to material 0 instead of the last table row
+    # (ADVICE r2).  Material ids fit in 16 bits, so post-clip int32 is safe.
+    twig = jnp.asarray(world.twig)
+    mats = jnp.concatenate(
+        [twig, jnp.arange(num_materials, dtype=twig.dtype)]
+    )
     solid = mats != 0
 
     # softplus^-1 of the scalar target density (host float math only)
@@ -68,7 +73,9 @@ def init_params_from_world(
     ).astype(jnp.float32)
 
     diffuse = jnp.asarray(materials.diffuse, dtype=jnp.float32)
-    mc = jnp.clip(mats, 0, diffuse.shape[0] - 1)
+    mc = jnp.minimum(mats, mats.dtype.type(diffuse.shape[0] - 1)).astype(
+        jnp.int32
+    )
     # channel-wise 1D gathers (2D row gathers serialize on TPU)
     colors = jnp.stack(
         [diffuse[:, 0][mc], diffuse[:, 1][mc], diffuse[:, 2][mc]], axis=-1

@@ -1,7 +1,8 @@
 """Real multi-PROCESS distributed test (SURVEY §2.8 multi-host scaling):
 two jax.distributed CPU processes, 2 virtual devices each, form a 4-device
-global mesh and run the overlapped sharded train step; the result must
-match the same step computed single-process.
+global mesh and run BOTH the overlapped sharded train step and the ZeRO
+(reduce_scatter + sharded-Adam + all_gather) step; the results must match
+the same steps computed single-process.
 
 This is the strongest multi-host evidence available on a 1-chip host: the
 collectives (psum over the rays axis) actually cross process boundaries
@@ -27,6 +28,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_train_step_matches_single_process(tmp_path):
     port = _free_port()
     out = str(tmp_path / "mp_result.npz")
@@ -70,6 +72,7 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     from octree_raymarcher_tpu.parallel.mesh import make_mesh
     from octree_raymarcher_tpu.parallel.render_sharded import (
         make_sharded_train_step,
+        make_zero_train_step,
     )
     from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
     from octree_raymarcher_tpu.world.world import World
@@ -100,4 +103,24 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     )
     np.testing.assert_allclose(
         np.asarray(params.albedo_raw), mp["albedo_raw"], rtol=1e-5, atol=1e-6,
+    )
+
+    # ZeRO step cross-process vs the same two steps single-process.
+    zparams = init_params_from_world(dev, solid_density=10.0)
+    init_zero, zstep = make_zero_train_step(mesh, dev, opt, max_segments=4,
+                                            grad_tiles=2)
+    zstate = init_zero(zparams)
+    for _ in range(2):
+        zparams, zstate, zloss = zstep(zparams, zstate, dev,
+                                       jnp.asarray(origins),
+                                       jnp.asarray(dirs), targets)
+    np.testing.assert_allclose(float(zloss), float(mp["zero_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(zparams.density_raw), mp["zero_density_raw"], rtol=1e-5,
+        atol=1e-6,
+        err_msg="multi-process ZeRO step diverged from single-process",
+    )
+    np.testing.assert_allclose(
+        np.asarray(zparams.albedo_raw), mp["zero_albedo_raw"], rtol=1e-5,
+        atol=1e-6,
     )

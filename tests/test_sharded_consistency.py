@@ -5,6 +5,7 @@ replicated edits)."""
 import copy
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -65,6 +66,7 @@ def _small_training_setup():
     return dev, jnp.asarray(origins), jnp.asarray(dirs), params, targets, opt
 
 
+@pytest.mark.slow
 def test_overlapped_grad_reduction_matches_blocking():
     """make_sharded_train_step(overlap=True) pipelines per-tile psums under
     the backward tile loop; results must match the blocking single-psum
@@ -95,6 +97,7 @@ def test_overlapped_grad_reduction_matches_blocking():
         )
 
 
+@pytest.mark.slow
 def test_zero_sharded_optimizer_matches_replicated():
     """make_zero_train_step (reduce_scatter + sharded Adam + all_gather)
     must produce the same params/loss as the replicated-optimizer step."""

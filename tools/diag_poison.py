@@ -7,19 +7,34 @@ Poison is permanent per process, so run ONE candidate per process:
     python tools/diag_poison.py <candidate>
 
 Candidates:
-  fwd        composite forward only (big [N,K] gathers from 7.7M-slot table)
+  fwd        composite forward only (big [N,K] gathers from the ~7.7M-slot
+             param table; exact size = num_param_slots(world), derived
+             below, never hardcoded)
   grad       value_and_grad(composite) — adds the scatter-add VJP
   adam       optax.adam update alone on the full-size params (zero grads)
   step       grad + adam (the known-poison full step)
-  scatter    bare 1M-element scatter-add into a 7.7M f32 table
-  gather     bare 1M-element gather from the 7.7M f32 table
   stepsmall  full step but on 100k-slot params (size dependence)
+  scatter    bare 1M-element scatter-add into a param-table-sized f32 table
+  gather     bare 1M-element (flat) gather from the same table
+  gather2d   the same gather with 2-D [tile, K] indices
+  cumsum     jnp.cumsum over [tile, K] (composite's transmittance prefix)
+  where      boolean jnp.where over [tile, K]
+  closure    jit with a closed-over device array (constant-capture path)
+
+Workaround candidates (added after `step` reproduced the poison and the
+elementary ops proved clean):
+  stepdonate    the full step with params+opt_state DONATED
+  gradthenadam  grad in one jit, adam update in a second jit (split)
+  stepsgd       grad + plain SGD apply in one jit (no optimizer moments)
 
 Prints probe-before / probe-after; a poisoned process shows seconds.
+Scene constants (camera, tile=65536, K=16) mirror bench_diff.py's default
+workload; this is a frozen one-shot bisect harness for that workload.
 """
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -44,7 +59,10 @@ def main():
 
     from bench import build_world
     from octree_raymarcher_tpu.diff import composite, init_params_from_world
-    from octree_raymarcher_tpu.diff.segments import _sample_segments_jit
+    from octree_raymarcher_tpu.diff.segments import (
+        _sample_segments_jit,
+        num_param_slots,
+    )
     from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
     from octree_raymarcher_tpu.shade.tiling import block_permutation
 
@@ -52,6 +70,7 @@ def main():
     world = build_world()
     world = jax.tree_util.tree_map(jnp.asarray, world)
     jax.block_until_ready(world.tree)
+    P_full = num_param_slots(world)  # full param-table size (was hardcoded)
     cam = PerspectiveCamera(
         position=(256.0, 90.0, -80.0), yaw_deg=0.0, pitch_deg=-12.0,
         fov_deg=80.0, width=1920, height=1080,
@@ -131,8 +150,40 @@ def main():
 
         p2, s2, loss = f(params, st, segs)
         jax.block_until_ready(loss)
+    elif which == "stepdonate":
+        st = opt.init(params)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def f(p, s, sg):
+            loss, g = jax.value_and_grad(loss_fn)(p, sg)
+            u, s = opt.update(g, s)
+            return optax.apply_updates(p, u), s, loss
+
+        p2, s2, loss = f(params, st, segs)
+        jax.block_until_ready(loss)
+    elif which == "gradthenadam":
+        st = opt.init(params)
+        fg = jax.jit(jax.value_and_grad(loss_fn))
+
+        @jax.jit
+        def fa(p, s, g):
+            u, s = opt.update(g, s)
+            return optax.apply_updates(p, u), s
+
+        loss, g = fg(params, segs)
+        p2, s2 = fa(params, st, g)
+        jax.block_until_ready(p2.density_raw)
+    elif which == "stepsgd":
+        @jax.jit
+        def f(p, sg):
+            loss, g = jax.value_and_grad(loss_fn)(p, sg)
+            p = jax.tree_util.tree_map(lambda a, b: a - 1e-2 * b, p, g)
+            return p, loss
+
+        p2, loss = f(params, segs)
+        jax.block_until_ready(loss)
     elif which == "scatter":
-        tbl = jnp.zeros(7_737_352, jnp.float32)
+        tbl = jnp.zeros(P_full, jnp.float32)
         idx = jnp.clip(segs.slot.reshape(-1), 0, tbl.shape[0] - 1)
         vals = jnp.ones_like(idx, jnp.float32)
 
@@ -142,7 +193,7 @@ def main():
 
         jax.block_until_ready(f(tbl, idx, vals))
     elif which == "gather":
-        tbl = jnp.zeros(7_737_352, jnp.float32)
+        tbl = jnp.zeros(P_full, jnp.float32)
         idx = jnp.clip(segs.slot.reshape(-1), 0, tbl.shape[0] - 1)
 
         @jax.jit
@@ -152,7 +203,7 @@ def main():
         jax.block_until_ready(f(tbl, idx))
 
     elif which == "gather2d":
-        tbl = jnp.zeros(7_737_352, jnp.float32)
+        tbl = jnp.zeros(P_full, jnp.float32)
         idx2 = jnp.clip(segs.slot, 0, tbl.shape[0] - 1)  # [tile, K] 2-D indices
 
         @jax.jit
