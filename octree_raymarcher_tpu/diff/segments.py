@@ -61,12 +61,27 @@ def sample_segments(
     max_segments: int = 32,
     max_steps: int = 512,
     num_materials: int = 8,
+    step_budget: int | None = None,
+    steps_stride: int = 16,
 ) -> SegmentBatch:
     """Collect up to ``max_segments`` solid segments per ray.
 
     Fast path: K sequential single-carry marches (see module docstring).
     Produces the same segments as ``sample_segments_ref`` (the original
-    one-loop formulation, kept as the test oracle)."""
+    one-loop formulation, kept as the test oracle).
+
+    Step-budget semantics (the cap case): by default each of the K phase
+    marches gets a fresh ``max_steps`` loop budget, so a ray may spend up
+    to K*max_steps iterations total — MORE than the one-loop oracle's
+    single shared budget.  Away from the cap the two samplers are
+    segment-for-segment identical (tested); at the cap they diverge.
+    ``step_budget=B`` instead gives each ray ONE total budget across all
+    phases, charged in ``steps_stride``-sized strides (a per-ray counter
+    can't ride in the single-carry loop, so a phase consuming s steps is
+    charged stride*ceil(s/stride); see ops/march_jnp.py step_budget).
+    ``sample_segments_ref`` implements the identical charged-stride
+    semantics, and the two agree exactly even when the budget binds
+    (tests/test_diff.py test_budgeted_sampler_matches_oracle_at_cap)."""
     world = jax.tree_util.tree_map(jnp.asarray, world)
     a = jnp.asarray(origins, dtype=jnp.float32)
     b = jnp.asarray(dirs, dtype=jnp.float32)
@@ -79,8 +94,26 @@ def sample_segments(
     count = jnp.zeros(n, dtype=jnp.int32)
     t_cur = None
     live = None
+    remaining = (
+        None
+        if step_budget is None
+        else jnp.full(n, step_budget, dtype=jnp.int32)
+    )
+    # With a budget, no phase can run past ceil(B/stride) charged stages
+    # (each entered stage charges a full stride), so cap the per-phase loop
+    # bound there — semantically a no-op that keeps the staged loop's HLO
+    # small (stages ~ B/stride instead of max_steps/stride, per phase).
+    phase_steps = max_steps
+    if step_budget is not None:
+        stride = max(4, (steps_stride // 4) * 4)  # march's effective stride
+        phase_steps = min(
+            max_steps, ((step_budget + stride - 1) // stride) * stride
+        )
     for _ in range(max_segments):
-        res = march(world, a, b, max_steps, t_start=t_cur, live_start=live)
+        res = march(world, a, b, phase_steps, t_start=t_cur, live_start=live,
+                    step_budget=remaining, steps_stride=steps_stride)
+        if remaining is not None:
+            remaining = remaining - res.steps
         hitm = res.hit
         hi = hitm.astype(jnp.int32)
         t_hit = jnp.where(hitm, res.t, 0.0)
@@ -120,7 +153,7 @@ def sample_segments(
 # 122 s/frame at 1080p K=16 before this was hoisted; tools/diag_segments.py
 # localized it).  The wrapper instance owns the dispatch cache, so it must
 # be created once, like shade/render.py's render_frame jit.
-_sample_segments_jit = jax.jit(sample_segments, static_argnums=(3, 4, 5))
+_sample_segments_jit = jax.jit(sample_segments, static_argnums=(3, 4, 5, 6, 7))
 
 
 def sample_segments_frame(
@@ -131,6 +164,8 @@ def sample_segments_frame(
     max_steps: int = 512,
     num_materials: int = 8,
     tile: int = 65536,
+    step_budget: int | None = None,
+    steps_stride: int = 16,
 ) -> SegmentBatch:
     """Host-tiled segment sampling for big frames (the geometry analog of
     shade.render_frame): one jitted per-tile executable dispatched
@@ -142,7 +177,8 @@ def sample_segments_frame(
     n = o.shape[0]
     if n <= tile:
         return _sample_segments_jit(
-            world, o, d, max_segments, max_steps, num_materials
+            world, o, d, max_segments, max_steps, num_materials,
+            step_budget, steps_stride,
         )
     pad = (-n) % tile
     if pad:
@@ -153,7 +189,7 @@ def sample_segments_frame(
     outs = [
         _sample_segments_jit(
             world, o[i : i + tile], d[i : i + tile], max_segments, max_steps,
-            num_materials)
+            num_materials, step_budget, steps_stride)
         for i in range(0, o.shape[0], tile)
     ]
     sl = slice(0, n)
@@ -172,10 +208,21 @@ def sample_segments_ref(
     max_segments: int = 32,
     max_steps: int = 512,
     num_materials: int = 8,
+    step_budget: int | None = None,
+    steps_stride: int = 16,
+    _stride_unroll: int = 4,
 ) -> SegmentBatch:
     """The original one-while-loop sampler (multi-vector carry — runs in
     the serialized-gather regime, ~100x slower on TPU).  Kept as the
-    equivalence oracle for sample_segments; do not use on the hot path."""
+    equivalence oracle for sample_segments; do not use on the hot path.
+
+    With ``step_budget`` set, implements exactly the fast sampler's
+    charged-stride total-budget semantics (see sample_segments docstring):
+    per ray, a new stride of up to ``stride`` cell visits may begin only
+    while charged < budget (each begun stride charges ``stride``), strides
+    restart at every recorded segment (phase boundary), and a phase is
+    additionally capped at ceil(max_steps/stride)*stride visits.  Without
+    it, the legacy single shared ``max_steps`` loop bound applies."""
     world = jax.tree_util.tree_map(jnp.asarray, world)
     a = jnp.asarray(origins, dtype=jnp.float32)
     b = jnp.asarray(dirs, dtype=jnp.float32)
@@ -195,6 +242,14 @@ def sample_segments_ref(
     t0_ = jnp.where(inside0, jnp.float32(0.0), tn + jnp.float32(EPS))
     active0 = inside0 | enter_ok
 
+    budgeted = step_budget is not None
+    # Mirror the fast path's effective stride (ops/march_jnp.py rounds the
+    # stride to a multiple of its loop unroll factor).
+    stride = max(
+        _stride_unroll, (steps_stride // _stride_unroll) * _stride_unroll
+    )
+    phase_cap = ((max_steps + stride - 1) // stride) * stride
+
     state = dict(
         t=t0_,
         active=active0,
@@ -203,16 +258,33 @@ def sample_segments_ref(
         seg_t1=jnp.zeros((n, K), dtype=jnp.float32),
         count=jnp.zeros(n, dtype=jnp.int32),
         step=jnp.int32(0),
+        psteps=jnp.zeros(n, dtype=jnp.int32),   # visits since last segment
+        spent=jnp.zeros(n, dtype=jnp.int32),    # stride-charged budget used
     )
 
     wi, hci, di = jnp.int32(w), jnp.int32(h), jnp.int32(d)
     rows = jnp.arange(n)
+    loop_bound = (step_budget + stride) if budgeted else max_steps
 
     def cond(s):
-        return (s["step"] < max_steps) & jnp.any(s["active"])
+        return (s["step"] < loop_bound) & jnp.any(s["active"])
 
     def body(s):
         t, active = s["t"], s["active"]
+        psteps, spent = s["psteps"], s["spent"]
+        if budgeted:
+            # Stride boundary (incl. phase start): a ray may begin a new
+            # stride of visits only while charged < budget AND under the
+            # per-phase cap; beginning one charges the full stride.  This
+            # mirrors ops/march_jnp.py's stage-boundary accounting exactly.
+            boundary = (psteps % stride) == 0
+            stop = active & boundary & (
+                (spent >= step_budget) | (psteps >= phase_cap)
+            )
+            active = active & ~stop
+            spent = spent + jnp.where(
+                active & boundary, jnp.int32(stride), 0
+            )
         p = a + b * t[:, None]
 
         in_world = is_inside(p, lo, hi)
@@ -277,6 +349,9 @@ def sample_segments_ref(
 
         # Rays out of capacity stop; everyone else steps past the cell.
         full = solid & (s["count"] >= K)
+        # Per-ray phase-local visit counter: +1 per visit, reset to 0 when
+        # a segment is recorded (= the fast sampler starting a new phase).
+        psteps = jnp.where(active, jnp.where(can, 0, psteps + 1), psteps)
         return dict(
             t=jnp.where(active, t + esc + jnp.float32(EPS), t),
             active=active & ~full,
@@ -285,6 +360,8 @@ def sample_segments_ref(
             seg_t1=new_t1,
             count=count,
             step=s["step"] + 1,
+            psteps=psteps,
+            spent=spent,
         )
 
     s = jax.lax.while_loop(cond, body, state)

@@ -177,6 +177,7 @@ def march(
     live_start=None,
     steps_stride: int = 16,
     assume_resident: bool = False,
+    step_budget=None,
     _check_const_pools: bool = True,
 ) -> MarchResult:
     """March N rays; returns a MarchResult of arrays over the ray batch.
@@ -194,7 +195,21 @@ def march(
     world-entry slab test is skipped and ray i starts at parameter
     ``t_start[i]`` with 0/1 liveness ``live_start[i]`` (dead rays report a
     miss immediately).  This is how the segment sampler re-marches past
-    each recorded solid cell (diff/segments.py) at fast-loop speed."""
+    each recorded solid cell (diff/segments.py) at fast-loop speed.
+
+    ``step_budget`` (int32[N], optional) gives each ray a per-ray loop-
+    iteration budget on top of the scalar ``max_steps`` bound.  A per-ray
+    counter cannot live in the fast loop (single-carry rule), so the
+    budget is charged in full strides at stage boundaries of the staged
+    fast loop: a ray may enter a stage iff charged < budget, and each
+    entered stage charges ``stride = steps_stride`` (rounded to a
+    multiple of ``unroll``) regardless of where in the stage the ray
+    finishes.  A ray's total charge is therefore exactly
+    ``stride * ceil(exact_steps / stride)`` — batch-independent — and is
+    returned in ``.steps``.  Rays whose budget runs out report a miss.
+    The segment sampler threads these charges across its K phases to give
+    the whole ray ONE total budget matching the one-loop oracle's
+    semantics (diff/segments.py step_budget)."""
     world = jax.tree_util.tree_map(jnp.asarray, world)
     o = jnp.asarray(origins, dtype=jnp.float32)
     if (
@@ -401,7 +416,34 @@ def march(
                 state = step_state(state)
             return (state, step + unroll)
 
-        if steps_aov == "coarse":
+        if step_budget is not None:
+            # Per-ray budget, charged stride-at-a-time at stage boundaries
+            # (see docstring).  Charges are batch-independent: stage
+            # boundaries fall at fixed multiples of ``stride`` iterations
+            # (a stage only ends early when EVERY ray is done), so ray r
+            # is charged exactly stride * ceil(exact_steps_r / stride).
+            stride = max(unroll, (steps_stride // unroll) * unroll)
+            stages = (max_steps + stride - 1) // stride
+            budget = jnp.asarray(step_budget, dtype=jnp.int32)
+            charged = jnp.zeros(n, dtype=jnp.int32)
+            state = state0
+            for _ in range(stages):
+                live_before = 1 - ((state >> 31) & 1)
+                # Out of budget => the ray ends as a MISS before the stage.
+                no_budget = live_before * (charged >= budget).astype(jnp.int32)
+                state = state + no_budget * (miss_b - state)
+                entered = live_before * (1 - no_budget)
+
+                def stage_cond(s):
+                    st, step = s
+                    return (step < stride) & (jnp.max(st) >= 0)
+
+                state, _k = jax.lax.while_loop(
+                    stage_cond, body, (state, jnp.int32(0))
+                )
+                charged = charged + entered * stride
+            s_steps = charged
+        elif steps_aov == "coarse":
             # Staged fast loop: run the SAME single-carry loop in stages of
             # ``steps_stride`` iterations and, between stages (outside any
             # while loop, so the carry rule is untouched), accumulate
