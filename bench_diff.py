@@ -16,9 +16,17 @@ Prints one JSON line per metric and appends both to bench_diff_baseline.json
 on first run.  Timing rules as bench.py: no device->host readback inside or
 before the timed regions (docs/PERF_NOTES.md axon readback pitfall).
 
-Env knobs: SEGS (max segments/ray, default 16 — the cap saturation fraction
-is reported so the choice is auditable), DIFF_TILE (sampler host tile),
-BENCH_BLOCK (screen-block ray ordering).
+Env knobs: SEGS (max segments/ray, default 32 = the API default; the cap
+saturation fraction is reported so the choice is auditable — K=16 saturated
+47% of rays on this scene and biases their gradients, see
+tests/test_diff.py test_segment_cap_gradient_bias_quantified), DIFF_TILE
+(sampler host tile), BENCH_BLOCK (screen-block ray ordering).
+
+Baseline bookkeeping: the r2 numbers in bench_diff_baseline.json were
+captured while the dispatch-poison bug degraded the geometry pass (VERDICT
+r2 missing #1).  The first post-fix run records itself under "postfix";
+vs_baseline then compares against THAT (honest optimization tracking), and
+the poisoned originals stay in the file for lineage.
 """
 
 from __future__ import annotations
@@ -51,7 +59,7 @@ def main():
     from octree_raymarcher_tpu.diff.segments import sample_segments_frame
     from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
 
-    K = int(os.environ.get("SEGS", "16"))
+    K = int(os.environ.get("SEGS", "32"))
     tile = int(os.environ.get("DIFF_TILE", "65536"))
     iters = int(os.environ.get("DIFF_ITERS", "3"))
 
@@ -144,9 +152,19 @@ def main():
     }
     if os.path.exists(base_path):
         base = json.load(open(base_path))
+        if "postfix" not in base:
+            # First run after the dispatch-poison fix: the r2 numbers in
+            # this file were measured with the bug active; record this run
+            # as the NEW optimization baseline instead of pretending the
+            # bug-removal is a speedup (VERDICT r2 weak #8).
+            base["postfix"] = record
+            json.dump(base, open(base_path, "w"), indent=1)
+            note("recorded this run as the post-fix baseline "
+                 "(previous numbers were dispatch-poisoned)")
     else:
-        base = record
-        json.dump(record, open(base_path, "w"), indent=1)
+        base = {"postfix": record}
+        json.dump(base, open(base_path, "w"), indent=1)
+    cmp = base["postfix"]
 
     for metric, dt in (
         ("fwdbwd_full_rays_per_s_1080p", dt_full),
@@ -157,7 +175,7 @@ def main():
             "metric": metric,
             "value": round(v),
             "unit": "rays/s",
-            "vs_baseline": round(v / base[metric], 3),
+            "vs_baseline": round(v / cmp[metric], 3),
             "step_ms": round(dt * 1e3, 1),
         }))
     print(

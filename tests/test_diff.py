@@ -278,11 +278,18 @@ def test_segment_cap_gradient_bias_quantified():
     nrm = np.linalg.norm(ref) + 1e-12
     err16 = np.linalg.norm(np.asarray(g16.density_raw) - ref) / nrm
     err32 = np.linalg.norm(np.asarray(g32.density_raw) - ref) / nrm
-    # Transmittance decay bounds the truncated mass: the bias is small and
-    # monotone in K.  (Measured here: err16 ~ a few %, err32 << err16.)
+    # Measured on this scene at solid_density=1.0 (translucent media, the
+    # worst case): err16 = 0.318, err32 = 2.1e-5 — K=16 visibly biases the
+    # saturated rays' gradients while K=32 is converged; at density >= 3
+    # even err16 ~ 1e-5 (opacity hides the truncated tail).  This is the
+    # recorded justification for the K=32 API/bench default.
     assert err32 <= err16 + 1e-9, (err16, err32)
-    assert err16 < 0.25, f"K=16 gradient bias unexpectedly large: {err16}"
-    assert err32 < 0.05, f"K=32 gradient bias unexpectedly large: {err32}"
+    assert err16 > 0.05, (
+        f"cap truncation no longer biases this scene (err16={err16}); "
+        "pick a harder scene or update the recorded numbers"
+    )
+    assert err16 < 0.6, f"K=16 gradient bias blew up: {err16}"
+    assert err32 < 0.01, f"K=32 gradient bias no longer negligible: {err32}"
 
 
 def test_frame_sampler_does_not_retrace(dworld, rays):
