@@ -90,13 +90,17 @@ def main():
     opt = optax.adam(1e-2)
     opt_state = opt.init(params)
 
-    def loss_fn(p, segs):
+    # target travels as a jit ARGUMENT — a closed-over device array bakes
+    # into the executable as a constant, and executing such an executable
+    # through the axon tunnel permanently degrades process dispatch (the
+    # round-3 poison bisect, tools/diag_poison.py / docs/PERF_NOTES.md).
+    def loss_fn(p, segs, tgt):
         out = composite(segs, p)
-        return jnp.mean((out["rgb"] - target) ** 2)
+        return jnp.mean((out["rgb"] - tgt) ** 2)
 
     @jax.jit
-    def step(p, s, segs):
-        loss, grads = jax.value_and_grad(loss_fn)(p, segs)
+    def step(p, s, segs, tgt):
+        loss, grads = jax.value_and_grad(loss_fn)(p, segs, tgt)
         updates, s = opt.update(grads, s)
         return optax.apply_updates(p, updates), s, loss
 
@@ -112,7 +116,7 @@ def main():
     t_geom_compile = time.time() - t0
     note(f"geometry compiled+run ({t_geom_compile:.1f}s)")
     t0 = time.time()
-    params, opt_state, loss = step(params, opt_state, segs)
+    params, opt_state, loss = step(params, opt_state, segs, target)
     jax.block_until_ready(loss)
     note(f"step compiled+run ({time.time()-t0:.1f}s); timing FULL fwd+bwd")
 
@@ -120,7 +124,7 @@ def main():
     t0 = time.time()
     for _ in range(iters):
         segs = geometry()
-        params, opt_state, loss = step(params, opt_state, segs)
+        params, opt_state, loss = step(params, opt_state, segs, target)
     jax.block_until_ready(loss)
     dt_full = (time.time() - t0) / iters
 
@@ -134,7 +138,7 @@ def main():
     # ---- (b) amortized: cached segments, composite step only ---------------
     t0 = time.time()
     for _ in range(iters * 3):
-        params, opt_state, loss = step(params, opt_state, segs)
+        params, opt_state, loss = step(params, opt_state, segs, target)
     jax.block_until_ready(loss)
     dt_amort = (time.time() - t0) / (iters * 3)
 

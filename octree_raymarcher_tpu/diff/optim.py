@@ -16,23 +16,40 @@ from .composite import VoxelParams, composite
 from .segments import sample_segments
 
 
-def make_loss_fn(world, views, max_segments: int = 32, max_steps: int = 512):
-    """views: list of (origins, dirs, target_rgb). Pre-samples segments once
+def sample_views(world, views, max_segments: int = 32, max_steps: int = 512):
+    """views: list of (origins, dirs, target_rgb).  Pre-samples segments once
     (geometry is fixed during param optimization) so each step is pure
-    compositing — the big TPU win of splitting geometry from appearance."""
+    compositing — the big TPU win of splitting geometry from appearance.
+    Returns a pytree of (segments, target) pairs to PASS INTO the jitted
+    step as an argument."""
     cached = []
     for origins, dirs, target in views:
         segs = sample_segments(world, origins, dirs, max_segments, max_steps)
         cached.append((jax.lax.stop_gradient(segs), jnp.asarray(target)))
+    return cached
 
-    def loss_fn(params: VoxelParams):
-        total = jnp.float32(0.0)
-        for segs, target in cached:
-            out = composite(segs, params)
-            total = total + jnp.mean((out["rgb"] - target) ** 2)
-        return total / len(cached)
 
-    return loss_fn
+def photometric_loss(params: VoxelParams, cached):
+    """Mean per-view L2 photometric loss over pre-sampled (segs, target)."""
+    total = jnp.float32(0.0)
+    for segs, target in cached:
+        out = composite(segs, params)
+        total = total + jnp.mean((out["rgb"] - target) ** 2)
+    return total / len(cached)
+
+
+def make_loss_fn(world, views, max_segments: int = 32, max_steps: int = 512):
+    """Convenience closure form of (sample_views + photometric_loss).
+
+    WARNING: the returned function closes over the cached segments/targets,
+    so jitting IT bakes them in as executable constants — which serializes
+    pool gathers (docs/PERF_NOTES.md single-carry cliff) and, through the
+    axon tunnel, executing any jit with a large closed-over device array
+    permanently degrades process dispatch (the round-3 poison bisect,
+    tools/diag_poison.py).  Prefer fit()/photometric_loss, which pass the
+    cached views as jit ARGUMENTS."""
+    cached = sample_views(world, views, max_segments, max_steps)
+    return lambda params: photometric_loss(params, cached)
 
 
 def fit(
@@ -44,12 +61,12 @@ def fit(
     max_segments: int = 32,
 ):
     """Run Adam on the photometric loss; returns (params, loss_history)."""
-    loss_fn = make_loss_fn(world, views, max_segments)
+    cached = sample_views(world, views, max_segments)
     opt = optax.adam(lr)
 
     @jax.jit
-    def step(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+    def step(params, opt_state, cached):
+        loss, grads = jax.value_and_grad(photometric_loss)(params, cached)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -58,9 +75,9 @@ def fit(
     opt_state = opt.init(params)
     history = []
     for _ in range(steps):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss = step(params, opt_state, cached)
         history.append(float(loss))
     return params, history
 
 
-__all__ = ["make_loss_fn", "fit"]
+__all__ = ["sample_views", "photometric_loss", "make_loss_fn", "fit"]

@@ -70,9 +70,15 @@ class VoxelScene:
     def make_train_step(self, lr: float = 0.05):
         opt = optax.adam(lr)
 
+        # The world travels as a jit ARGUMENT: closing over the device
+        # pools would bake them into the executable as constants, which
+        # serializes every in-loop pool gather ~300x (docs/PERF_NOTES.md)
+        # and — through the axon tunnel — executing a jit with large
+        # closed-over device arrays permanently degrades process dispatch
+        # (round-3 poison bisect, tools/diag_poison.py).
         @jax.jit
-        def train_step(params, opt_state, origins, dirs, target):
-            segs = jax.lax.stop_gradient(sample_segments(self.world, origins, dirs))
+        def train_step(world, params, opt_state, origins, dirs, target):
+            segs = jax.lax.stop_gradient(sample_segments(world, origins, dirs))
 
             def loss_fn(p):
                 out = composite(segs, p)

@@ -27,6 +27,15 @@ elementary ops proved clean):
   gradthenadam  grad in one jit, adam update in a second jit (split)
   stepsgd       grad + plain SGD apply in one jit (no optimizer moments)
 
+Narrowing candidates (added after `fwd` ALONE reproduced the poison,
+1.26 ms -> 16.6 s probes; grad/step are supersets):
+  fwdsigma   density half only: [N,K] gather from f32[P] + softplus +
+             cumsum + sum
+  fwdalbedo  albedo half only: 3 column gathers ar[:,0][idx] from
+             f32[P,3] + sigmoid + weighted sum
+  fwdcolumn  bare 1M gather from ONE strided column of f32[P,3]
+  fwdnoexp   composite shape without transcendentals (linear ops only)
+
 Prints probe-before / probe-after; a poisoned process shows seconds.
 Scene constants (camera, tile=65536, K=16) mirror bench_diff.py's default
 workload; this is a frozen one-shot bisect harness for that workload.
@@ -219,6 +228,53 @@ def main():
             return jnp.cumsum(v, axis=1).sum()
 
         jax.block_until_ready(f(x))
+    elif which == "fwdsigma":
+        dr = params.density_raw
+        dl = jnp.maximum(segs.t1 - segs.t0, 0.0)
+        valid = (segs.slot >= 0).astype(jnp.float32)
+        idx2 = jnp.clip(segs.slot, 0, dr.shape[0] - 1)
+
+        @jax.jit
+        def f(table, i, w_, v):
+            sigma = jnp.logaddexp(table[i], 0.0)
+            tau = sigma * w_ * v
+            T = jnp.exp(-(jnp.cumsum(tau, axis=1) - tau))
+            return ((1.0 - jnp.exp(-tau)) * T).sum()
+
+        jax.block_until_ready(f(dr, idx2, dl, valid))
+    elif which == "fwdalbedo":
+        ar = params.albedo_raw
+        idx2 = jnp.clip(segs.slot, 0, ar.shape[0] - 1)
+        wgt = jnp.abs(segs.t1 - segs.t0)
+
+        @jax.jit
+        def f(table, i, w_):
+            alb = jax.nn.sigmoid(jnp.stack(
+                [table[:, 0][i], table[:, 1][i], table[:, 2][i]], axis=-1))
+            return (w_[..., None] * alb).sum()
+
+        jax.block_until_ready(f(ar, idx2, wgt))
+    elif which == "fwdcolumn":
+        ar = params.albedo_raw
+        idx = jnp.clip(segs.slot.reshape(-1), 0, ar.shape[0] - 1)
+
+        @jax.jit
+        def f(table, i):
+            return table[:, 0][i].sum()
+
+        jax.block_until_ready(f(ar, idx))
+    elif which == "fwdnoexp":
+        dr = params.density_raw
+        dl = jnp.maximum(segs.t1 - segs.t0, 0.0)
+        idx2 = jnp.clip(segs.slot, 0, dr.shape[0] - 1)
+
+        @jax.jit
+        def f(table, i, w_):
+            tau = table[i] * w_
+            pre = jnp.cumsum(tau, axis=1) - tau
+            return (tau * pre).sum()
+
+        jax.block_until_ready(f(dr, idx2, dl))
     elif which == "closure":
         big = jnp.zeros((tile, 3), jnp.float32)  # closed-over device array
 
