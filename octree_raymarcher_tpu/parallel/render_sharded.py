@@ -171,8 +171,14 @@ def make_sharded_train_step(
             sl = slice(bounds[i], bounds[i + 1])
             li, gi = tile_loss_and_grad(o[sl], d[sl], target[sl])
             # Start tile i's collective now — independent of tile i+1's
-            # backward, so the scheduler overlaps comm with compute.
-            gi = jax.lax.psum(gi, RAYS_AXIS)
+            # backward, so the scheduler overlaps comm with compute.  The
+            # optimization_barrier is load-bearing: without it XLA:TPU
+            # reassociates psum(g0)+psum(g1) into ONE psum(g0+g1) at the
+            # end of the step (verified on AOT-compiled v5e HLO even at
+            # 256 MB/tile), silently serializing the comm it exists to
+            # hide.  With it, one all-reduce per tile survives to the
+            # scheduler (tests/test_overlap_hlo.py).
+            gi = jax.lax.optimization_barrier(jax.lax.psum(gi, RAYS_AXIS))
             loss = loss + li
             gsum = (
                 gi
@@ -273,10 +279,14 @@ def make_zero_train_step(
             sl = slice(bounds[i], bounds[i + 1])
             li, gi = tile_grad(o[sl], d[sl], target[sl])
             # reduce_scatter tile i's grads while tile i+1's backward runs.
+            # Barrier for the same reason as the overlapped psum path: XLA
+            # otherwise reassociates the per-tile collectives into one.
             gi = jax.tree_util.tree_map(
-                lambda g: jax.lax.psum_scatter(
-                    _shard_pad(g, n_dev), RAYS_AXIS, scatter_dimension=0,
-                    tiled=True,
+                lambda g: jax.lax.optimization_barrier(
+                    jax.lax.psum_scatter(
+                        _shard_pad(g, n_dev), RAYS_AXIS, scatter_dimension=0,
+                        tiled=True,
+                    )
                 ),
                 gi,
             )

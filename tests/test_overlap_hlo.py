@@ -10,16 +10,14 @@ What can and cannot be proven on this hardware:
   pipeline comm under the next tile's compute.  If a refactor ever merges
   the tile loop back into one big backward + one psum, this test fails.
 
-* The SCHEDULER property (TPU-only): XLA:TPU converts independent
-  all-reduces into async start/done pairs and hoists the dones; the
-  all-reduce COMBINER can legally re-merge small ones (observed on the
-  CPU backend: the 17k-slot test grads combine into ONE all-reduce, i.e.
-  full serialization — documented in docs/PERF_NOTES.md).  At the real
-  workload's sizes (~124 MB of grads per tile at 1080p) the combiner
-  threshold is far exceeded, so the per-tile ops stay separate.  When a
-  multi-chip TPU topology is available for AOT compilation, the second
-  test asserts start/done interleaving in the scheduled module; otherwise
-  it skips loudly.
+* The COMPILED property (TPU, via deviceless AOT for a v5e:2x2
+  topology): XLA:TPU *reassociates* naive per-tile psums into one
+  end-of-step all-reduce at any size; make_sharded_train_step's
+  optimization_barrier blocks that, and the second test asserts the
+  per-tile collectives survive the full TPU optimization pipeline at
+  realistic gradient sizes.  (At toy sizes the size-thresholded COMBINER
+  still tuples them — also observed on the CPU backend — hence the
+  inflated params.)  Details: docs/PERF_NOTES.md round-3 overlap notes.
 """
 
 import re
@@ -77,10 +75,27 @@ def test_overlapped_step_lowers_to_per_tile_psums():
     assert n_olap >= GRAD_TILES + 1, n_olap
 
 
-def test_overlapped_step_tpu_schedule_interleaves():
-    """Scheduled-HLO interleave check — needs a multi-chip TPU topology
-    for AOT compilation (not available through the 1-chip axon tunnel;
-    skips loudly there, runs on real pods)."""
+@pytest.mark.slow
+def test_overlapped_step_tpu_collectives_survive_compilation():
+    """TPU-compiled HLO check, via deviceless AOT compilation for a
+    v5e:2x2 topology (works through the axon plugin; skips loudly where no
+    TPU topology is available).
+
+    What is asserted: the per-tile gradient psums SURVIVE the XLA:TPU
+    optimization pipeline as >= GRAD_TILES separate all-reduce ops.
+    Without the optimization_barrier in make_sharded_train_step, XLA
+    reassociates psum(g0)+psum(g1) -> psum(g0+g1) and emits ONE all-reduce
+    after all backward work (observed on this stack even at 256 MB/tile)
+    — total comm/compute serialization.  Separate per-tile ops are the
+    prerequisite the latency-hiding scheduler needs; async start/done
+    pairs are a runtime/scheduling detail this XLA version does not
+    expose in compiled.as_text().
+
+    Params are inflated to 16M slots: at toy sizes the all-reduce
+    COMBINER (a different pass, size-thresholded, which the barrier does
+    not and should not block) legally tuples the per-tile ops back
+    together; at the real workload's ~256 MB/tile the ops stay separate
+    — that is the regime that matters for overlap."""
     try:
         from jax.experimental import topologies
 
@@ -90,7 +105,14 @@ def test_overlapped_step_tpu_schedule_interleaves():
     except Exception as e:  # pragma: no cover - environment-dependent
         pytest.skip(f"no TPU topology for AOT compile here: {e!r}")
 
-    dev, o, d, params, t = _setup()
+    from octree_raymarcher_tpu.diff.composite import VoxelParams
+
+    dev, o, d, _, t = _setup()
+    P = 1 << 24
+    params = VoxelParams(
+        density_raw=jnp.zeros(P, jnp.float32),
+        albedo_raw=jnp.zeros((P, 3), jnp.float32),
+    )
     mesh = make_mesh(np.array(topo.devices[:4]))
     opt = optax.adam(1e-2)
     step = make_sharded_train_step(
@@ -98,12 +120,8 @@ def test_overlapped_step_tpu_schedule_interleaves():
     )
     compiled = step.lower(params, opt.init(params), dev, o, d, t).compile()
     txt = compiled.as_text()
-    starts = [m.start() for m in re.finditer(r"all-reduce-start", txt)]
-    dones = [m.start() for m in re.finditer(r"all-reduce-done", txt)]
-    assert len(starts) >= GRAD_TILES, "collectives not async on TPU"
-    # Interleave: at least one other tile's collective STARTS before an
-    # earlier one's DONE is consumed (textual order tracks schedule order
-    # in scheduled TPU HLO).
-    assert any(s2 < d1 for d1 in dones for s2 in starts if s2 > min(starts)), (
-        "all-reduce-dones immediately follow their starts: serialized"
+    n_ar = len(re.findall(r"all-reduce\(", txt))
+    assert n_ar >= GRAD_TILES, (
+        f"only {n_ar} all-reduce ops in TPU HLO — XLA merged the per-tile "
+        "grad psums back into a blocking end-of-step reduction"
     )
