@@ -50,6 +50,7 @@ Performance design (measured on TPU v5e):
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -594,6 +595,61 @@ def march_tiled(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("max_steps", "assume_resident")
+)
+def _march_tile_jit(world, o, d, max_steps, assume_resident):
+    return march(world, o, d, max_steps, assume_resident=assume_resident,
+                 _check_const_pools=False)
+
+
+def march_frame(
+    world: DeviceWorld,
+    origins,
+    dirs,
+    max_steps: int = MAX_STEPS,
+    tile: int = 65536,
+    assume_resident: bool = False,
+) -> MarchResult:
+    """Host-tiled full-frame march: ONE jitted per-tile executable (the
+    world travels as a jit ARGUMENT) dispatched asynchronously over the ray
+    batch — the march analog of shade.render_frame, for eager big-batch
+    marches outside any enclosing jit (e.g. the shadow-map light pass).
+
+    Use this instead of march_tiled when calling eagerly: march_tiled's
+    lax.map would trace its tile body with the concrete pools captured as
+    closure CONSTANTS — the serialized-gather regime, and through the axon
+    tunnel executing any constant-pool executable poisons the whole
+    process's dispatch (docs/PERF_NOTES.md, round-3 bisect)."""
+    o = jnp.asarray(origins, dtype=jnp.float32)
+    d = jnp.asarray(dirs, dtype=jnp.float32)
+    n = o.shape[0]
+    if n <= tile:
+        return _march_tile_jit(world, o, d, max_steps, assume_resident)
+    pad = (-n) % tile
+    if pad:
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1e9, dtype=jnp.float32)])
+        d = jnp.concatenate(
+            [d, jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
+                                 (pad, 3))]
+        )
+    outs = [
+        _march_tile_jit(world, o[i:i + tile], d[i:i + tile], max_steps,
+                        assume_resident)
+        for i in range(0, o.shape[0], tile)
+    ]
+    sl = slice(0, n)
+    return MarchResult(
+        hit=jnp.concatenate([r.hit for r in outs])[sl],
+        t=jnp.concatenate([r.t for r in outs])[sl],
+        material=jnp.concatenate([r.material for r in outs])[sl],
+        cell_bmin=jnp.concatenate([r.cell_bmin for r in outs])[sl],
+        cell_size=jnp.concatenate([r.cell_size for r in outs])[sl],
+        steps=jnp.concatenate([r.steps for r in outs])[sl],
+        texel=jnp.concatenate([r.texel for r in outs])[sl],
+    )
+
+
 def _descend(world: DeviceWorld, p, tree_off):
     """Fixed-depth point location (used by the segment sampler):
     returns (node_word, cell_bmin, cell_size)."""
@@ -629,4 +685,4 @@ def _descend(world: DeviceWorld, p, tree_off):
     return word_u, jnp.stack([bmx, bmy, bmz], axis=-1), size
 
 
-__all__ = ["march", "march_tiled", "MarchResult"]
+__all__ = ["march", "march_tiled", "march_frame", "MarchResult"]

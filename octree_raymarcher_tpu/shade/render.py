@@ -28,7 +28,7 @@ import numpy as np
 
 from ..core.constants import EPS, FAR, NEAR
 from ..core.geometry import cube_normal, cube_uv, inverse_depth
-from ..ops.march_jnp import march, march_tiled
+from ..ops.march_jnp import march, march_frame, march_tiled
 from ..world.device import DeviceWorld
 from .lights import LightRig
 from .materials import MaterialTable
@@ -150,31 +150,40 @@ def ray_shadow(world: DeviceWorld, res, points, normals, lights: LightRig, cfg):
 
 
 def render_shadowmap(
-    world: DeviceWorld, lights: LightRig, resolution=(512, 512), margin: float = 1.1
+    world: DeviceWorld, lights: LightRig, resolution=(512, 512),
+    margin: float = 1.1, tile: int = 65536,
 ):
     """Depth-from-the-light pass (reference Main.cpp:190-198): ortho camera at
     the directional light over the world bounds, storing inverse distance to
-    the light position.  Returns (depth f32[H,W], light_vp f32[4,4])."""
+    the light position.  Returns (depth f32[H,W], light_vp f32[4,4]).
+
+    Everything that depends on ``world.chunkcoordmin`` (a device array on a
+    resident world) is computed in jnp: the ray bundle and view matrix are
+    built in a world-CENTER-RELATIVE frame from static host scalars, then
+    translated by the device-resident center.  A host ``np.asarray`` of any
+    pool leaf here would be the process's first device readback and would
+    permanently degrade dispatch through the axon tunnel (the readback
+    curse, docs/PERF_NOTES.md) — this function used to do exactly that."""
     w, h, d = world.dims
     cs = world.chunksize
-    lo = np.asarray(world.chunkcoordmin) * cs
     extent = np.array([w, h, d], dtype=np.float64) * cs
-    center = lo + extent * 0.5
     radius = float(np.linalg.norm(extent) * 0.5 * margin)
 
     lpos = np.asarray(lights.directional.position, dtype=np.float64)
     ldir = np.asarray(lights.directional.direction, dtype=np.float64)
     ldir = ldir / np.linalg.norm(ldir)
 
-    # Ortho ray bundle along the light direction, centered on the world:
-    # the emitter plane sits behind the world so every ray crosses it.
-    plane_center = center - ldir * (2.0 * radius)
+    # Ortho ray bundle along the light direction in the center-relative
+    # frame: the emitter plane sits behind the world so every ray crosses it.
+    plane_rel = -ldir * (2.0 * radius)
     up = np.array([0.0, 1.0, 0.0])
     if abs(np.dot(ldir, up)) > 0.99:
         up = np.array([0.0, 0.0, 1.0])
-    view = look_at(plane_center, center, up)
+    view_rel = look_at(plane_rel, (0.0, 0.0, 0.0), up)
     proj = ortho(-radius, radius, -radius, radius, 0.0, 8 * radius)
-    vp = (proj.astype(np.float64) @ view.astype(np.float64)).astype(np.float32)
+    pv_rel = (proj.astype(np.float64) @ view_rel.astype(np.float64)).astype(
+        np.float32
+    )
 
     H, W = resolution
     right = np.cross(ldir, up)
@@ -183,17 +192,23 @@ def render_shadowmap(
     xs = ((np.arange(W) + 0.5) / W - 0.5) * 2 * radius
     ys = (0.5 - (np.arange(H) + 0.5) / H) * 2 * radius
     xx, yy = np.meshgrid(xs, ys)
-    origins = (
-        plane_center[None, None]
+    origins_rel = (
+        plane_rel[None, None]
         + xx[..., None] * right[None, None]
         + yy[..., None] * upv[None, None]
     ).reshape(-1, 3).astype(np.float32)
-    dirs = np.broadcast_to(ldir, origins.shape).astype(np.float32).copy()
+    dirs = jnp.asarray(np.broadcast_to(ldir, origins_rel.shape), jnp.float32)
 
-    res = march(world, jnp.asarray(origins), jnp.asarray(dirs))
-    p = jnp.asarray(origins) + jnp.asarray(dirs) * jnp.where(
-        res.hit, res.t, jnp.float32(FAR)
-    )[:, None]
+    # Device-side translation by the world center; lookAt(eye+c, c, up) ==
+    # lookAt(eye, 0, up) @ translate(-c), so vp composes with one 4x4 matmul.
+    lo = jnp.asarray(world.chunkcoordmin, jnp.float32) * jnp.float32(cs)
+    center = lo + jnp.asarray(extent * 0.5, dtype=jnp.float32)
+    origins = jnp.asarray(origins_rel) + center[None, :]
+    tmat = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(-center)
+    vp = jnp.asarray(pv_rel) @ tmat
+
+    res = march_frame(world, origins, dirs, tile=tile)
+    p = origins + dirs * jnp.where(res.hit, res.t, jnp.float32(FAR))[:, None]
     dist = jnp.linalg.norm(p - jnp.asarray(lpos, dtype=jnp.float32), axis=-1)
     depth = jnp.where(res.hit, inverse_depth(dist), jnp.float32(1.0))
     return depth.reshape(H, W), vp
