@@ -95,6 +95,21 @@ def inverse_depth(dist):
     return (1.0 / jnp.maximum(dist, jnp.float32(1e-6)) - inv_near) / (inv_far - inv_near)
 
 
+def depth_to_distance(depth):
+    """Exact inverse of :func:`inverse_depth` (decode a stored depth code
+    back to world-space distance).  Used by the shadow-map compare, which
+    must happen in DISTANCE space: at light distances of O(100) units the
+    inverse-depth code compresses ~10 units of occluder separation into
+    ~1e-5 of code range, so a fixed code-space bias either admits acne or
+    rejects every shadow."""
+    from .constants import FAR, NEAR
+
+    inv_near = 1.0 / NEAR
+    inv_far = 1.0 / FAR
+    inv = depth * jnp.float32(inv_far - inv_near) + jnp.float32(inv_near)
+    return 1.0 / jnp.maximum(inv, jnp.float32(1.0 / FAR))
+
+
 __all__ = [
     "is_inside",
     "inv_dir",

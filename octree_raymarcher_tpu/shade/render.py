@@ -41,7 +41,7 @@ class RenderConfig:
     max_steps: int = 512
     sky: tuple = (0.45, 0.65, 0.95)
     gamma: float = 2.2              # atlas decode gamma
-    shadow_bias: float = 1e-3
+    shadow_bias: float = 4.0   # map-shadow bias, in map TEXELS (see map_shadow)
     # Ray-tile size for the march: each tile's loop exits at its own worst
     # ray, so coherent tiles waste fewer lockstep lanes (docs/PERF_NOTES.md;
     # 8192 measured best at 1080p on v5e).  <=0 marches the whole batch.
@@ -154,8 +154,8 @@ def render_shadowmap(
     margin: float = 1.1, tile: int = 65536,
 ):
     """Depth-from-the-light pass (reference Main.cpp:190-198): ortho camera at
-    the directional light over the world bounds, storing inverse distance to
-    the light position.  Returns (depth f32[H,W], light_vp f32[4,4]).
+    the directional light over the world bounds, storing along-ray ortho
+    depth (ndc z).  Returns (depth f32[H,W], light_vp f32[4,4]).
 
     Everything that depends on ``world.chunkcoordmin`` (a device array on a
     resident world) is computed in jnp: the ray bundle and view matrix are
@@ -169,7 +169,6 @@ def render_shadowmap(
     extent = np.array([w, h, d], dtype=np.float64) * cs
     radius = float(np.linalg.norm(extent) * 0.5 * margin)
 
-    lpos = np.asarray(lights.directional.position, dtype=np.float64)
     ldir = np.asarray(lights.directional.direction, dtype=np.float64)
     ldir = ldir / np.linalg.norm(ldir)
 
@@ -209,14 +208,33 @@ def render_shadowmap(
 
     res = march_frame(world, origins, dirs, tile=tile)
     p = origins + dirs * jnp.where(res.hit, res.t, jnp.float32(FAR))[:, None]
-    dist = jnp.linalg.norm(p - jnp.asarray(lpos, dtype=jnp.float32), axis=-1)
-    depth = jnp.where(res.hit, inverse_depth(dist), jnp.float32(1.0))
+    # Store ALONG-RAY ortho depth (ndc z through vp, in [-1,1]); misses sit
+    # on the far plane.  The reference stores inverse distance to the light
+    # POSITION (ShadowmapWorld.Fragment.glsl), which is monotonic along the
+    # rays only while position and direction stay coupled the way Main.cpp
+    # recomputes them each frame (:168); ndc z is monotonic by construction
+    # for ANY rig, and map_shadow's bias becomes resolution-scaled.
+    ph = jnp.concatenate([p, jnp.ones_like(p[:, :1])], axis=-1)
+    zndc = (ph @ vp.T)[:, 2]
+    depth = jnp.where(res.hit, zndc, jnp.float32(1.0))
     return depth.reshape(H, W), vp
 
 
-def map_shadow(points, shadow_depth, light_vp, light_pos, bias: float = 1e-3):
-    """Project hit points into the light and compare inverse depths
-    (reference computeShadow, World.Fragment.glsl:140-155)."""
+def map_shadow(points, shadow_depth, light_vp, bias_texels: float = 4.0):
+    """Project hit points into the light and compare along-ray depths
+    (reference computeShadow, World.Fragment.glsl:140-155).
+
+    The compare happens in ortho ndc z (what render_shadowmap stores), NOT
+    the reference's inverse-distance-to-light-position code: that code is
+    monotonic along the light rays only while the rig's position/direction
+    stay coupled (Main.cpp:168 re-derives direction from position every
+    frame), and it compresses ~10 world units of occluder separation at
+    light distance ~100 into ~1e-5 of code range, so no fixed bias works
+    across a scene.  ``bias_texels`` is in units of the map's own texel
+    footprint: one texel spans 2*radius/W world units laterally and
+    (2*radius/W) * (2/(8*radius)) = 1/(2W) of ndc z along the ray —
+    independent of the scene radius, so the default 2.0 covers ~45-degree
+    slope acne at every resolution."""
     H, W = shadow_depth.shape
     vp = jnp.asarray(light_vp)
     ph = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1)
@@ -228,12 +246,11 @@ def map_shadow(points, shadow_depth, light_vp, light_pos, bias: float = 1e-3):
     xi = jnp.clip((uv[:, 0] * W).astype(jnp.int32), 0, W - 1)
     yi = jnp.clip(((1.0 - uv[:, 1]) * H).astype(jnp.int32), 0, H - 1)
     # flat 1D gather (2D gathers serialize on TPU; docs/PERF_NOTES.md)
-    pixel_depth = shadow_depth.reshape(-1)[yi * W + xi]
+    pixel_z = shadow_depth.reshape(-1)[yi * W + xi]
 
-    dist = jnp.linalg.norm(points - jnp.asarray(light_pos, dtype=jnp.float32), axis=-1)
-    point_depth = inverse_depth(dist)
+    bias = jnp.float32(bias_texels / (2.0 * W))
     inside = jnp.all((uv >= 0.0) & (uv <= 1.0), axis=-1)
-    return (inside & (point_depth > pixel_depth + bias)).astype(jnp.float32)
+    return (inside & (ndc[:, 2] > pixel_z + bias)).astype(jnp.float32)
 
 
 def render(
@@ -275,7 +292,7 @@ def render(
         t_hit = jnp.where(res.hit, res.t, jnp.float32(0.0))
         p = a + b * (t_hit - jnp.float32(EPS))[:, None]
         shadow_factor = map_shadow(
-            p, depth_map, vp, lights.directional.position, cfg.shadow_bias
+            p, depth_map, vp, cfg.shadow_bias
         ) * res.hit.astype(jnp.float32)
 
     return shade_hits(

@@ -97,6 +97,43 @@ def test_map_shadow_runs(dworld, cam_rays):
     assert np.isfinite(np.asarray(out["rgb"])).all()
 
 
+def test_map_shadow_matches_ray_shadow(dworld, cam_rays):
+    """The projective shadow map must agree with the exact ray-marched
+    shadow on most hit pixels (IoU), not merely run.  Guards the two bugs
+    that let map shadows silently degenerate to zero or to acne: a depth
+    metric that is non-monotonic along the light rays (distance to the rig
+    position with an inconsistent position/direction pair) and a bias in
+    the wrong space (reference computeShadow compares raw codes with zero
+    bias, World.Fragment.glsl:142-155)."""
+    (origins, dirs), eye = cam_rays
+    from octree_raymarcher_tpu.shade.render import map_shadow, ray_shadow
+    from octree_raymarcher_tpu.core.geometry import cube_normal
+    from octree_raymarcher_tpu.core.constants import EPS
+    from octree_raymarcher_tpu.ops.march_jnp import march
+
+    lights = LightRig.default()
+    o = jnp.asarray(origins, jnp.float32)
+    d = jnp.asarray(dirs, jnp.float32)
+    res = march(dworld, o, d, 512)
+    t_hit = jnp.where(res.hit, res.t, jnp.float32(0.0))
+    p = o + d * (t_hit - jnp.float32(EPS))[:, None]
+    n = cube_normal(p, res.cell_bmin, res.cell_bmin + res.cell_size[:, None])
+    sf_ray = np.asarray(ray_shadow(dworld, res, p, n, lights, RenderConfig())) > 0.5
+
+    depth, vp = render_shadowmap(dworld, lights, resolution=(512, 512))
+    sf_map = np.asarray(map_shadow(p, depth, vp)) > 0.5
+    hit = np.asarray(res.hit)
+    sf_map &= hit
+
+    assert sf_ray.any(), "scene must actually contain ray shadows"
+    assert sf_map.any(), "map shadows must trigger at all"
+    inter = (sf_map & sf_ray).sum()
+    union = (sf_map | sf_ray).sum()
+    assert inter / union > 0.5, (
+        f"map vs ray shadow IoU {inter/union:.3f} "
+        f"(map={sf_map[hit].mean():.3f} ray={sf_ray[hit].mean():.3f})")
+
+
 def test_atlas_textures(dworld, cam_rays):
     (origins, dirs), eye = cam_rays
     rngk = np.random.default_rng(0)
