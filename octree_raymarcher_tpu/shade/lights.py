@@ -12,11 +12,27 @@ from __future__ import annotations
 from typing import Any
 
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 
 def _norm(v, axis=-1):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), 1e-12)
+
+
+def _np(v):
+    """Default light parameters are HOST (numpy) arrays: the shadow pass
+    reads the rig's direction on the host to build its ray grid, and
+    through the axon tunnel the first device->host readback permanently
+    degrades the process's dispatch (docs/PERF_NOTES.md).  Tiny host
+    leaves cost nothing as jit arguments; pass device arrays only for
+    rigs you are differentiating."""
+    return np.asarray(v, dtype=np.float32)
+
+
+def _np_norm(v):
+    a = np.asarray(v, dtype=np.float64)
+    return (a / max(float(np.linalg.norm(a)), 1e-12)).astype(np.float32)
 
 
 @struct.dataclass
@@ -32,10 +48,10 @@ class PointLight:
     @staticmethod
     def default() -> "PointLight":
         return PointLight(
-            position=jnp.array([50.0, 8.0, 65.0]),
-            ambient=jnp.array([0.1, 0.1, 0.1]),
-            diffuse=jnp.array([0.5, 0.5, 0.5]),
-            specular=jnp.array([1.0, 1.0, 1.0]),
+            position=_np([50.0, 8.0, 65.0]),
+            ambient=_np([0.1, 0.1, 0.1]),
+            diffuse=_np([0.5, 0.5, 0.5]),
+            specular=_np([1.0, 1.0, 1.0]),
         )
 
 
@@ -50,11 +66,11 @@ class DirectionalLight:
     @staticmethod
     def default() -> "DirectionalLight":
         return DirectionalLight(
-            position=jnp.array([250.0, 125.0, 250.0]),
-            direction=_norm(jnp.array([1.0, -1.0, 0.0])),
-            ambient=jnp.array([0.2, 0.3, 0.4]),
-            diffuse=jnp.array([0.3, 0.3, 0.6]),
-            specular=jnp.array([0.0, 0.0, 0.0]),
+            position=_np([250.0, 125.0, 250.0]),
+            direction=_np_norm([1.0, -1.0, 0.0]),
+            ambient=_np([0.2, 0.3, 0.4]),
+            diffuse=_np([0.3, 0.3, 0.6]),
+            specular=_np([0.0, 0.0, 0.0]),
         )
 
 
@@ -74,13 +90,13 @@ class Spotlight:
     @staticmethod
     def default() -> "Spotlight":
         return Spotlight(
-            position=jnp.array([50.0, 20.0, 70.0]),
-            direction=_norm(jnp.array([-0.1, -1.0, -0.1])),
-            ambient=jnp.array([0.2, 0.8, 0.3]),
-            diffuse=jnp.array([0.2, 0.8, 0.3]),
-            specular=jnp.array([1.0, 1.0, 1.0]),
-            cos_phi=jnp.cos(jnp.deg2rad(25.0)),
-            cos_gamma=jnp.cos(jnp.deg2rad(35.0)),
+            position=_np([50.0, 20.0, 70.0]),
+            direction=_np_norm([-0.1, -1.0, -0.1]),
+            ambient=_np([0.2, 0.8, 0.3]),
+            diffuse=_np([0.2, 0.8, 0.3]),
+            specular=_np([1.0, 1.0, 1.0]),
+            cos_phi=np.float32(np.cos(np.deg2rad(25.0))),
+            cos_gamma=np.float32(np.cos(np.deg2rad(35.0))),
         )
 
 

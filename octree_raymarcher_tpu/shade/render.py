@@ -169,6 +169,20 @@ def render_shadowmap(
     extent = np.array([w, h, d], dtype=np.float64) * cs
     radius = float(np.linalg.norm(extent) * 0.5 * margin)
 
+    if isinstance(lights.directional.direction, jax.Array):
+        # np.asarray of a device array here would be THE process's first
+        # device->host readback — through the axon tunnel that permanently
+        # degrades dispatch ~50-1000x (docs/PERF_NOTES.md; this exact line
+        # was the round-3 "shadow modes are 500x slow" root cause).  Light
+        # rigs should carry host leaves (LightRig.default now does).
+        import warnings
+
+        warnings.warn(
+            "render_shadowmap: device-resident light direction forces a "
+            "host readback, which permanently degrades dispatch through "
+            "the axon TPU tunnel; build rigs with host (numpy) leaves.",
+            stacklevel=2,
+        )
     ldir = np.asarray(lights.directional.direction, dtype=np.float64)
     ldir = ldir / np.linalg.norm(ldir)
 
