@@ -142,9 +142,8 @@ def main():
     jax.block_until_ready(loss)
     dt_amort = (time.time() - t0) / (iters * 3)
 
-    # ---- readbacks allowed from here on ------------------------------------
-    sat = float((np.asarray(segs.count) >= K).mean())
-    loss_v = float(loss)
+    note(f"timed: full={dt_full*1e3:.1f}ms geom={dt_geom*1e3:.1f}ms "
+         f"amortized={dt_amort*1e3:.1f}ms — printing before any readback")
 
     base_path = os.path.join(os.path.dirname(__file__), "bench_diff_baseline.json")
     record = {
@@ -152,7 +151,6 @@ def main():
         "fwdbwd_amortized_rays_per_s_1080p": round(n_rays / dt_amort),
         "geometry_rays_per_s_1080p": round(n_rays / dt_geom),
         "max_segments": K,
-        "cap_saturation_frac": round(sat, 4),
     }
     if os.path.exists(base_path):
         base = json.load(open(base_path))
@@ -185,10 +183,24 @@ def main():
     print(
         f"# geometry={dt_geom*1e3:.1f}ms/frame ({n_rays/dt_geom/1e6:.1f}M rays/s) "
         f"full={dt_full*1e3:.1f}ms amortized={dt_amort*1e3:.1f}ms "
-        f"K={K} cap_saturation={sat:.3f} loss={loss_v:.5f} "
-        f"device={jax.devices()[0].device_kind}",
+        f"K={K} device={jax.devices()[0].device_kind}",
         flush=True,
     )
+
+    # ---- best-effort stats readback, strictly AFTER the metrics are out:
+    # in this process (big param table + many resident buffers) the FIRST
+    # device->host readback — even one scalar — stalls for many minutes
+    # through the axon tunnel, where bench.py's bulk readbacks are instant.
+    # Never put a readback between the metrics and the exit.  Skippable
+    # with DIFF_STATS=0; on success the saturation is patched into the file.
+    if os.environ.get("DIFF_STATS", "1") == "1":
+        note("best-effort stats readback (may stall; metrics already out)")
+        sat = float(jnp.mean((segs.count >= K).astype(jnp.float32)))
+        loss_v = float(loss)
+        base = json.load(open(base_path))
+        base["postfix"].setdefault("cap_saturation_frac", round(sat, 4))
+        json.dump(base, open(base_path, "w"), indent=1)
+        print(f"# cap_saturation={sat:.3f} loss={loss_v:.5f}", flush=True)
 
 
 if __name__ == "__main__":
