@@ -75,6 +75,16 @@ def test_golden_ray_shadow(scene):
     _check("rayshadow_2x1x2_d5", _thumb(rgb, h, w))
 
 
+def test_golden_map_shadow(scene):
+    """shadow="map" — the projective shadow-map path (reference shadow pass,
+    ShadowmapWorld.Fragment.glsl:15-19 → computeShadow) whose depth metric
+    and texel-scaled bias were redesigned in round 3; this golden fails if
+    either regresses (VERDICT r3 #7)."""
+    _, dev = scene
+    rgb, h, w = _render(dev, "map")
+    _check("mapshadow_2x1x2_d5", _thumb(rgb, h, w))
+
+
 def test_golden_after_edit(scene):
     import copy
 
