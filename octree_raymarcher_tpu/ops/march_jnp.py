@@ -535,7 +535,14 @@ def march_tiled(
 ) -> MarchResult:
     """March in coherent screen tiles: each tile's loop exits at its own
     worst ray.  Rays are padded to a tile multiple with away-pointing rays.
-    ``live_start`` (0/1[N]) pre-kills rays (they report a miss at no cost)."""
+    ``live_start`` (0/1[N]) pre-kills rays (they report a miss at no cost).
+
+    EAGER big batches auto-delegate to march_frame (identical results:
+    same per-tile march, same order): calling this eagerly would put the
+    concrete pools into the lax.map closure as baked-in CONSTANTS — the
+    serialized-gather regime, and through the axon tunnel executing any
+    constant-pool executable permanently poisons process dispatch
+    (VERDICT r3 weak #7; docs/PERF_NOTES.md round-3 bisect)."""
     o = jnp.asarray(origins, dtype=jnp.float32)
     d = jnp.asarray(dirs, dtype=jnp.float32)
     n = o.shape[0]
@@ -543,6 +550,14 @@ def march_tiled(
         return march(world, o, d, max_steps, unroll, steps_aov,
                      live_start=live_start, steps_stride=steps_stride,
                      assume_resident=assume_resident)
+    if (
+        not isinstance(world.tree, jax.core.Tracer)
+        and steps_aov is False
+        and unroll == 4
+    ):
+        return march_frame(world, o, d, max_steps, tile=tile,
+                           assume_resident=assume_resident,
+                           live_start=live_start)
     pad = (-n) % tile
     ls = None
     if live_start is not None:
@@ -598,9 +613,9 @@ def march_tiled(
 @functools.partial(
     jax.jit, static_argnames=("max_steps", "assume_resident")
 )
-def _march_tile_jit(world, o, d, max_steps, assume_resident):
+def _march_tile_jit(world, o, d, max_steps, assume_resident, live_start=None):
     return march(world, o, d, max_steps, assume_resident=assume_resident,
-                 _check_const_pools=False)
+                 live_start=live_start, _check_const_pools=False)
 
 
 def march_frame(
@@ -610,6 +625,7 @@ def march_frame(
     max_steps: int = MAX_STEPS,
     tile: int = 65536,
     assume_resident: bool = False,
+    live_start=None,
 ) -> MarchResult:
     """Host-tiled full-frame march: ONE jitted per-tile executable (the
     world travels as a jit ARGUMENT) dispatched asynchronously over the ray
@@ -624,8 +640,11 @@ def march_frame(
     o = jnp.asarray(origins, dtype=jnp.float32)
     d = jnp.asarray(dirs, dtype=jnp.float32)
     n = o.shape[0]
+    ls = None
+    if live_start is not None:
+        ls = jnp.asarray(live_start).astype(jnp.int32)
     if n <= tile:
-        return _march_tile_jit(world, o, d, max_steps, assume_resident)
+        return _march_tile_jit(world, o, d, max_steps, assume_resident, ls)
     pad = (-n) % tile
     if pad:
         o = jnp.concatenate([o, jnp.full((pad, 3), 1e9, dtype=jnp.float32)])
@@ -633,9 +652,12 @@ def march_frame(
             [d, jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
                                  (pad, 3))]
         )
+        if ls is not None:
+            ls = jnp.concatenate([ls, jnp.zeros(pad, dtype=jnp.int32)])
     outs = [
         _march_tile_jit(world, o[i:i + tile], d[i:i + tile], max_steps,
-                        assume_resident)
+                        assume_resident,
+                        None if ls is None else ls[i:i + tile])
         for i in range(0, o.shape[0], tile)
     ]
     sl = slice(0, n)
