@@ -42,12 +42,18 @@ def render_sharded(mesh: Mesh, world, origins, dirs, eye, **render_kwargs):
     """Forward render with rays sharded across the mesh; pools replicated.
 
     Returns ONLY the rgb AOV (f32[N,3]); use render()/render_frame() when
-    the full AOV dict is needed.  Each device marches its whole shard in
-    ONE top-level while loop — a caller-set cfg.tile is OVERRIDDEN to 0,
-    because nesting the march in lax.map inside shard_map would serialize
-    the pool gathers (docs/PERF_NOTES.md).  For big frames prefer
-    render_frame_sharded, which adds host tiling."""
+    the full AOV dict is needed.
+
+    In-shard tiling (VERDICT r2 #6 / r3 #5): each device's shard is cut
+    into ``cfg.tile``-ray sub-tiles by an UNROLLED Python loop inside the
+    shard_map body, so every sub-tile's march while-loop stays top-level
+    (an inner lax.map would serialize the pool gathers —
+    docs/PERF_NOTES.md single-carry cliff) and exits at that sub-tile's
+    worst ray instead of the whole shard's single worst ray.  cfg.tile<=0
+    marches the whole shard in one loop (the old behavior).  For big
+    frames prefer render_frame_sharded, which adds host tiling."""
     cfg = render_kwargs.pop("cfg", RenderConfig())
+    sub = cfg.tile
     cfg = dataclasses.replace(cfg, tile=0)
 
     @functools.partial(
@@ -58,8 +64,14 @@ def render_sharded(mesh: Mesh, world, origins, dirs, eye, **render_kwargs):
         check_vma=False,
     )
     def _shard(world_, o, d):
-        out = render(world_, o, d, eye, cfg=cfg, **render_kwargs)
-        return out["rgb"]
+        nloc = o.shape[0]
+        step_n = nloc if sub <= 0 else sub
+        outs = [
+            render(world_, o[i:i + step_n], d[i:i + step_n], eye, cfg=cfg,
+                   **render_kwargs)["rgb"]
+            for i in range(0, nloc, step_n)
+        ]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
     return _shard(world, jnp.asarray(origins), jnp.asarray(dirs))
 
@@ -122,17 +134,23 @@ def make_sharded_train_step(
     per-voxel grads all-reduced over the rays axis before the optimizer
     update — the scaling-book DP recipe.
 
-    ``overlap=False`` (the baseline): one backward over the whole shard,
-    then one blocking psum of the full gradients.
+    BOTH modes split each device's ray shard into ``grad_tiles`` sequential
+    sub-tiles and run the segment SAMPLING per sub-tile (VERDICT r3 #5):
+    each sub-tile's K phase marches are separate top-level while-loops that
+    exit at that sub-tile's worst ray, instead of one loop per phase gated
+    by the whole shard's single worst ray (the whole-shard-worst-ray
+    gating this replaces costs ~G x on a skewed ray set with one long ray
+    per shard; tools/diag_shard_tiling.py measures it).
 
-    ``overlap=True`` (SURVEY §2.8 / BASELINE config 5): each device's ray
-    shard is split into ``grad_tiles`` sub-tiles; tile i's gradient psum is
-    issued as soon as tile i's backward finishes, so the collective rides
-    ICI *under* tile i+1's sampling+backward compute (XLA's async
+    ``overlap=False`` (the baseline): per-tile grads accumulate LOCALLY,
+    then one blocking psum of the summed gradients.
+
+    ``overlap=True`` (SURVEY §2.8 / BASELINE config 5): tile i's gradient
+    psum is issued as soon as tile i's backward finishes, so the collective
+    rides ICI *under* tile i+1's sampling+backward compute (XLA's async
     collectives + latency-hiding scheduler pipeline the independent
     start/done pairs).  Gradients are mathematically the same sum; floats
-    regroup per tile, so results match the blocking mode to ~1e-6 rel, not
-    bit-for-bit.
+    regroup per tile, so the two modes match to ~1e-6 rel, not bit-for-bit.
 
     For optimizer-state sharding on top of this (reduce_scatter + sharded
     Adam + all_gather), see make_zero_train_step below."""
@@ -156,12 +174,6 @@ def make_sharded_train_step(
 
             return jax.value_and_grad(loss_fn)(params)
 
-        if not overlap:
-            loss, grads = tile_loss_and_grad(o, d, target)
-            loss = jax.lax.psum(loss, RAYS_AXIS)
-            grads = jax.lax.psum(grads, RAYS_AXIS)
-            return loss, grads
-
         nloc = o.shape[0]
         ntiles = max(1, min(grad_tiles, nloc))
         bounds = [round(i * nloc / ntiles) for i in range(ntiles + 1)]
@@ -170,21 +182,25 @@ def make_sharded_train_step(
         for i in range(ntiles):
             sl = slice(bounds[i], bounds[i + 1])
             li, gi = tile_loss_and_grad(o[sl], d[sl], target[sl])
-            # Start tile i's collective now — independent of tile i+1's
-            # backward, so the scheduler overlaps comm with compute.  The
-            # optimization_barrier is load-bearing: without it XLA:TPU
-            # reassociates psum(g0)+psum(g1) into ONE psum(g0+g1) at the
-            # end of the step (verified on AOT-compiled v5e HLO even at
-            # 256 MB/tile), silently serializing the comm it exists to
-            # hide.  With it, one all-reduce per tile survives to the
-            # scheduler (tests/test_overlap_hlo.py).
-            gi = jax.lax.optimization_barrier(jax.lax.psum(gi, RAYS_AXIS))
+            if overlap:
+                # Start tile i's collective now — independent of tile i+1's
+                # backward, so the scheduler overlaps comm with compute.
+                # The optimization_barrier is load-bearing: without it
+                # XLA:TPU reassociates psum(g0)+psum(g1) into ONE
+                # psum(g0+g1) at the end of the step (verified on
+                # AOT-compiled v5e HLO even at 256 MB/tile), silently
+                # serializing the comm it exists to hide.  With it, one
+                # all-reduce per tile survives to the scheduler
+                # (tests/test_overlap_hlo.py).
+                gi = jax.lax.optimization_barrier(jax.lax.psum(gi, RAYS_AXIS))
             loss = loss + li
             gsum = (
                 gi
                 if gsum is None
                 else jax.tree_util.tree_map(jnp.add, gsum, gi)
             )
+        if not overlap:
+            gsum = jax.lax.psum(gsum, RAYS_AXIS)
         loss = jax.lax.psum(loss, RAYS_AXIS)
         return loss, gsum
 
