@@ -16,15 +16,21 @@ from .composite import VoxelParams, composite
 from .segments import sample_segments
 
 
-def sample_views(world, views, max_segments: int = 32, max_steps: int = 512):
+def sample_views(world, views, max_segments: int = 32, max_steps: int = 512,
+                 tile: int = 65536):
     """views: list of (origins, dirs, target_rgb).  Pre-samples segments once
     (geometry is fixed during param optimization) so each step is pure
     compositing — the big TPU win of splitting geometry from appearance.
     Returns a pytree of (segments, target) pairs to PASS INTO the jitted
-    step as an argument."""
+    step as an argument.  Views bigger than ``tile`` rays sample host-tiled
+    (sample_segments_frame) so each tile's marches gate on local worst
+    rays."""
+    from .segments import sample_segments_frame
+
     cached = []
     for origins, dirs, target in views:
-        segs = sample_segments(world, origins, dirs, max_segments, max_steps)
+        segs = sample_segments_frame(world, origins, dirs, max_segments,
+                                     max_steps, tile=tile)
         cached.append((jax.lax.stop_gradient(segs), jnp.asarray(target)))
     return cached
 
@@ -76,8 +82,12 @@ def fit(
     history = []
     for _ in range(steps):
         params, opt_state, loss = step(params, opt_state, cached)
-        history.append(float(loss))
-    return params, history
+        # Collect DEVICE scalars; convert after the loop.  float(loss) here
+        # would be a per-step device->host readback — the FIRST of which
+        # permanently degrades dispatch through the axon tunnel
+        # (docs/PERF_NOTES.md), turning a fit run ~1000x slow.
+        history.append(loss)
+    return params, [float(l) for l in history]
 
 
 __all__ = ["sample_views", "photometric_loss", "make_loss_fn", "fit"]
