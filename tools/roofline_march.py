@@ -98,6 +98,13 @@ def synthetic_loop_rate(tile: int, n_gathers_dep: int, n_gathers_indep: int,
 
 
 def main():
+    # Runnable as `python tools/roofline_march.py` from anywhere: put the
+    # repo root (not tools/) on sys.path without touching PYTHONPATH (which
+    # breaks the axon plugin — CLAUDE.md).
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
     import jax
     import jax.numpy as jnp
 
@@ -105,7 +112,6 @@ def main():
 
     enable_persistent_cache()
 
-    sys.path.insert(0, ".")
     from bench import build_world
     from octree_raymarcher_tpu.ops.march_jnp import march_tiled
     from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
@@ -141,8 +147,21 @@ def main():
     dt_march, _ = time_iters_per_s(frame, (world, origins, dirs))
     rays_per_s = n_rays / dt_march
 
-    # --- 2. executed lane-iterations via the coarse steps AOV --------------
-    # (separate untimed pass; coarse mode is ~1x but staging differs)
+    # --- 2. synthetic speed-of-light loops ----------------------------------
+    # MUST run before any device->host readback: through the axon tunnel the
+    # first readback permanently degrades dispatch, and a while-loop-heavy
+    # synthetic loop timed after it would be ~1000x slow — inflating
+    # march_pct_of_gather_sol to garbage (docs/PERF_NOTES.md readback curse).
+    pool_elems = 1 << int(np.ceil(np.log2(max(world.tree.shape[0], 2))))
+    note(f"synthetic loops (pool={pool_elems} words, tile={tile})")
+    g1 = synthetic_loop_rate(tile, 1, 0, pool_elems, 256)
+    # march body: depth+1 dependent tree gathers, 3 independent
+    # (chunk_tree, chunk_twig, twig_occ)
+    gm = synthetic_loop_rate(tile, depth + 1, 3, pool_elems, 256)
+
+    # --- 3. executed lane-iterations via the coarse steps AOV --------------
+    # (separate untimed pass; its np.asarray is the process's FIRST readback,
+    # so it comes strictly after every timed region)
     @jax.jit
     def frame_steps(w, o, d):
         r = march_tiled(w, o, d, max_steps=max_steps, tile=tile,
@@ -150,7 +169,7 @@ def main():
                         steps_stride=stride)
         return r.steps
 
-    note("counting executed iterations (coarse steps AOV)")
+    note("counting executed iterations (coarse steps AOV; first readback)")
     steps = np.asarray(jax.block_until_ready(frame_steps(world, origins, dirs)))
     pad = (-n_rays) % tile
     steps_p = np.concatenate([steps, np.zeros(pad, np.int32)]).reshape(-1, tile)
@@ -160,14 +179,6 @@ def main():
     true_ray_steps = float(steps.sum())  # upper estimate (quantized up)
     lane_util = true_ray_steps / executed_lane_iters
     achieved_iters_per_s = executed_lane_iters / dt_march
-
-    # --- 3. synthetic speed-of-light loops ----------------------------------
-    pool_elems = 1 << int(np.ceil(np.log2(max(world.tree.shape[0], 2))))
-    note(f"synthetic loops (pool={pool_elems} words, tile={tile})")
-    g1 = synthetic_loop_rate(tile, 1, 0, pool_elems, 256)
-    # march body: depth+1 dependent tree gathers, 3 independent
-    # (chunk_tree, chunk_twig, twig_occ)
-    gm = synthetic_loop_rate(tile, depth + 1, 3, pool_elems, 256)
 
     frac = achieved_iters_per_s / gm
     out = {
@@ -183,6 +194,13 @@ def main():
         "device": jax.devices()[0].device_kind,
     }
     print(json.dumps(out, indent=1))
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "roofline_march.json")
+    with open(path + ".tmp", "w") as f:
+        json.dump(out, f, indent=1)
+    os.replace(path + ".tmp", path)
+    note(f"wrote {os.path.abspath(path)}")
 
 
 if __name__ == "__main__":
