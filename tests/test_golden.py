@@ -138,6 +138,24 @@ def test_golden_render_frame_path(scene):
     _check("plain_2x1x2_d5", _thumb(out["rgb"], 54, 96))
 
 
+def test_golden_render_frame_fused(scene):
+    """The one-executable fused frame path reproduces the same golden as
+    the per-tile-dispatch path (same internal tiling, one launch)."""
+    import jax.numpy as jnp
+
+    from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
+    from octree_raymarcher_tpu.shade.render import RenderConfig, render_frame
+
+    _, dev = scene
+    cam = PerspectiveCamera(position=(32.0, 30.0, -20.0), yaw_deg=0.0,
+                            pitch_deg=-20.0, fov_deg=70.0, width=96, height=54)
+    o, d = cam.rays()
+    out = render_frame(dev, jnp.asarray(o), jnp.asarray(d),
+                       jnp.asarray(cam.position, dtype=jnp.float32),
+                       cfg=RenderConfig(shadow="none"), tile=1000, fused=True)
+    _check("plain_2x1x2_d5", _thumb(out["rgb"], 54, 96))
+
+
 def test_golden_textured_envmap(scene):
     """Textured (procedural atlas) + environment-map render is pinned —
     the reference's PNG-atlas + skybox frame (Atlas.cpp:29, Skybox.cpp:84)."""

@@ -33,6 +33,40 @@ def test_tiled_equals_untiled(rng):
     )
 
 
+def test_march_frame_live_start_and_delegation(rng):
+    """march_frame's live_start path (new in r4: the eager-delegation
+    target for big-batch march_tiled calls, e.g. the shadow-ray pass)
+    must match march() with the same live mask, and eager march_tiled on
+    a big batch must produce identical results via its delegation."""
+    from octree_raymarcher_tpu.ops.march_jnp import march_frame
+
+    w = World.generate(dims=(2, 1, 2), chunksize=32.0, depth=5, seed=3,
+                       water_level=4.0, amplitude=16.0)
+    _, dev = w.to_device()
+    n = 700
+    origins = np.stack(
+        [rng.uniform(-10, 74, n), rng.uniform(5, 60, n), rng.uniform(-10, 74, n)],
+        axis=1,
+    ).astype(np.float32)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    live = (rng.uniform(size=n) < 0.6).astype(np.int32)
+
+    ref = march(dev, origins, dirs, live_start=live)
+    got = march_frame(dev, origins, dirs, tile=256, live_start=live)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got.t))
+    # dead rays report a miss
+    assert not np.asarray(got.hit)[live == 0].any()
+
+    # eager big-batch march_tiled == march_frame (the delegation)
+    d1 = march_tiled(dev, origins, dirs, tile=256, live_start=live)
+    np.testing.assert_array_equal(np.asarray(d1.t), np.asarray(got.t))
+    d2 = march_tiled(dev, origins, dirs, tile=256)
+    f2 = march_frame(dev, origins, dirs, tile=256)
+    np.testing.assert_array_equal(np.asarray(d2.t), np.asarray(f2.t))
+
+
 def test_steps_aov_coarse_bounds_exact(rng):
     """steps_aov='coarse' (staged fast loop) must bound the exact counter:
     exact <= coarse < exact + stride, with identical hit/t results."""
