@@ -67,3 +67,53 @@ def test_pick_targets_surface():
     assert np.all(bmax > bmin)
     # picking into empty sky misses
     assert pick(w, origin=(16.0, 30.0, 16.0), direction=(0.0, 1.0, 0.0)) is None
+
+
+def test_shadow_bundle_cache_keys_by_rig():
+    """render_shadowmap's host ray-bundle cache must key on the light
+    direction (and resolution): two rigs produce different depth maps and
+    two cache entries; the same rig twice reuses one entry."""
+    import jax
+    import jax.numpy as jnp
+
+    import importlib
+
+    R = importlib.import_module("octree_raymarcher_tpu.shade.render")
+    from octree_raymarcher_tpu.shade.lights import LightRig
+
+    w = World.generate(dims=(1, 1, 1), chunksize=32.0, depth=4, seed=2,
+                       water_level=0.0, amplitude=12.0)
+    _, dev = w.to_device()
+    dev = jax.tree_util.tree_map(jnp.asarray, dev)
+
+    R._shadow_bundle_cache.clear()
+    rig1 = LightRig.default()
+    d1, vp1 = R.render_shadowmap(dev, rig1, resolution=(32, 32))
+    n1 = len(R._shadow_bundle_cache)
+    d1b, _ = R.render_shadowmap(dev, rig1, resolution=(32, 32))
+    assert len(R._shadow_bundle_cache) == n1  # reused, not regrown
+
+    dl2 = rig1.directional.replace(
+        direction=np.asarray([0.3, -1.0, -0.2], np.float32)
+    )
+    rig2 = rig1.replace(directional=dl2)
+    d2, vp2 = R.render_shadowmap(dev, rig2, resolution=(32, 32))
+    assert len(R._shadow_bundle_cache) == n1 + 1
+    assert not np.allclose(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d1b))
+
+
+def test_cli_info_runs():
+    """python -m octree_raymarcher_tpu info (the app-layer CLI surface)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, "-m", "octree_raymarcher_tpu", "info",
+         "--platform", "cpu", "--dims", "1x1x1", "--depth", "3"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert p.returncode == 0, p.stderr[-500:]
+    rep = _json.loads(p.stdout)
+    assert "allocator" in rep
