@@ -154,6 +154,11 @@ def test_golden_render_frame_fused(scene):
                        jnp.asarray(cam.position, dtype=jnp.float32),
                        cfg=RenderConfig(shadow="none"), tile=1000, fused=True)
     _check("plain_2x1x2_d5", _thumb(out["rgb"], 54, 96))
+    # and with the shadow-map pass (its own executable feeding the fused one)
+    out = render_frame(dev, jnp.asarray(o), jnp.asarray(d),
+                       jnp.asarray(cam.position, dtype=jnp.float32),
+                       cfg=RenderConfig(shadow="map"), tile=1000, fused=True)
+    _check("mapshadow_2x1x2_d5", _thumb(out["rgb"], 54, 96))
 
 
 def test_golden_textured_envmap(scene):
