@@ -139,14 +139,15 @@ def run_mode(mode: str, iters: int):
     elif mode == "shadow_ray":
         # two full-screen marches: camera rays + per-hit shadow rays
         cfg = RenderConfig(shadow="ray", max_steps=512, assume_resident=resident)
-    elif mode == "full_frame":
+    elif mode in ("full_frame", "full_frame_fused"):
         # the full reference frame: shadowed + atlas-textured + env sky
         from octree_raymarcher_tpu.shade.atlas import default_atlas
         from octree_raymarcher_tpu.shade.envmap import default_envmap
 
         cfg = RenderConfig(shadow="map", max_steps=512, assume_resident=resident)
         kw = dict(atlas=jnp.asarray(default_atlas(resolution=32)),
-                  envmap=jnp.asarray(default_envmap(64, 128)))
+                  envmap=jnp.asarray(default_envmap(64, 128)),
+                  fused=mode.endswith("fused"))
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
@@ -231,7 +232,7 @@ def main():
 
     modes = {}
     if os.environ.get("BENCH_MODES", "1") == "1":
-        for mode in ("plain_fused", "shadow_map", "shadow_ray", "full_frame"):
+        for mode in ("plain_fused", "shadow_map", "shadow_ray", "full_frame", "full_frame_fused"):
             m = _spawn(mode, iters)
             modes[mode] = {
                 "rays_per_s": round(n_rays / (m["dispatch_ms_mean"] / 1e3)),
