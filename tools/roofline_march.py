@@ -180,18 +180,34 @@ def main():
     lane_util = true_ray_steps / executed_lane_iters
     achieved_iters_per_s = executed_lane_iters / dt_march
 
+    # r4 semantics (docs/PERF_NOTES.md "Round 4"): the timing-derived
+    # fields are journal-dispatch acks, not device time — this tool's own
+    # first run proved it (march "at" 889% of the synthetic SoL).  They
+    # are kept under invalid_dispatch_ack_timings for the record; the
+    # valid, timing-independent result is lane_utilization, counted from
+    # the steps AOV.
     frac = achieved_iters_per_s / gm
     out = {
-        "rays_per_s_march_only": round(rays_per_s),
-        "frame_ms_march_only": round(dt_march * 1e3, 2),
-        "executed_lane_iters_per_frame": executed_lane_iters,
-        "achieved_lane_iters_per_s": round(achieved_iters_per_s),
+        "semantics": ("timing fields are dispatch acks (no execution "
+                      "fence exists on this tunnel); lane_utilization is "
+                      "the valid metric — see docs/PERF_NOTES.md r4"),
         "lane_utilization": round(lane_util, 3),
-        "sol_iters_per_s_12gather": round(gm),
-        "sol_iters_per_s_1gather": round(g1),
-        "march_pct_of_gather_sol": round(100 * frac, 1),
+        "executed_lane_iters_per_frame": executed_lane_iters,
         "gathers_per_iter": depth + 4,
         "device": jax.devices()[0].device_kind,
+        "invalid_dispatch_ack_timings": {
+            "rays_per_s_march_only": round(rays_per_s),
+            "frame_ms_march_only": round(dt_march * 1e3, 2),
+            "achieved_lane_iters_per_s": round(achieved_iters_per_s),
+            "sol_iters_per_s_12gather": round(gm),
+            "sol_iters_per_s_1gather": round(g1),
+            "march_pct_of_gather_sol": round(100 * frac, 1),
+        },
+        "mfu_statement": (
+            "timing-based MFU is unmeasurable through this tunnel; "
+            f"lockstep lane utilization is {round(100 * lane_util, 1)}% at "
+            f"tile {tile} — the remaining lever is finer tiles / ray "
+            "compaction, at the cost of more dispatches"),
     }
     print(json.dumps(out, indent=1))
     import os
