@@ -171,14 +171,25 @@ def main():
 
     note("counting executed iterations (coarse steps AOV; first readback)")
     steps = np.asarray(jax.block_until_ready(frame_steps(world, origins, dirs)))
-    pad = (-n_rays) % tile
-    steps_p = np.concatenate([steps, np.zeros(pad, np.int32)]).reshape(-1, tile)
-    # each tile executes to its max live ray, in stages quantized to stride
-    per_tile_trips = np.ceil(steps_p.max(axis=1) / stride) * stride
-    executed_lane_iters = float((per_tile_trips * tile).sum())
+
+    def util_at(t):
+        """Lane utilization if the SAME ray order were marched in tiles of
+        t rays — pure host math over the measured per-ray step counts, so
+        the whole tile-size curve costs one AOV readback."""
+        pad_ = (-n_rays) % t
+        sp = np.concatenate([steps, np.zeros(pad_, np.int32)]).reshape(-1, t)
+        trips = np.ceil(sp.max(axis=1) / stride) * stride
+        executed = float((trips * t).sum())
+        return float(steps.sum()) / executed, executed
+
+    lane_util, executed_lane_iters = util_at(tile)
     true_ray_steps = float(steps.sum())  # upper estimate (quantized up)
-    lane_util = true_ray_steps / executed_lane_iters
     achieved_iters_per_s = executed_lane_iters / dt_march
+    util_curve = {
+        str(t): round(util_at(t)[0], 3)
+        for t in (2048, 8192, 16384, 32768, 65536, 262144, n_rays)
+    }
+    note(f"lane utilization vs tile size: {util_curve}")
 
     # r4 semantics (docs/PERF_NOTES.md "Round 4"): the timing-derived
     # fields are journal-dispatch acks, not device time — this tool's own
@@ -192,6 +203,7 @@ def main():
                       "fence exists on this tunnel); lane_utilization is "
                       "the valid metric — see docs/PERF_NOTES.md r4"),
         "lane_utilization": round(lane_util, 3),
+        "lane_utilization_vs_tile": util_curve,
         "executed_lane_iters_per_frame": executed_lane_iters,
         "gathers_per_iter": depth + 4,
         "device": jax.devices()[0].device_kind,
