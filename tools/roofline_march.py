@@ -191,6 +191,28 @@ def main():
     }
     note(f"lane utilization vs tile size: {util_curve}")
 
+    # Ray-compaction potential (also pure host math): if live rays were
+    # re-packed densely at every stage boundary (stable sort by liveness —
+    # legal between the top-level staged loops, state is one int32/ray),
+    # stage s executes ceil(live_s / tile) * tile * stride lanes instead
+    # of every tile that contains ANY live ray.  This bounds what a
+    # compaction pass could recover on this ray set.
+    def compaction_util(t):
+        executed = 0.0
+        s = 0
+        while True:
+            live = int((steps > s).sum())
+            if live == 0:
+                break
+            executed += np.ceil(live / t) * t * stride
+            s += stride
+        return true_ray_steps / executed
+
+    compaction_curve = {
+        str(t): round(compaction_util(t), 3) for t in (8192, 65536)
+    }
+    note(f"perfect-compaction utilization: {compaction_curve}")
+
     # r4 semantics (docs/PERF_NOTES.md "Round 4"): the timing-derived
     # fields are journal-dispatch acks, not device time — this tool's own
     # first run proved it (march "at" 889% of the synthetic SoL).  They
@@ -204,6 +226,7 @@ def main():
                       "the valid metric — see docs/PERF_NOTES.md r4"),
         "lane_utilization": round(lane_util, 3),
         "lane_utilization_vs_tile": util_curve,
+        "lane_utilization_perfect_compaction": compaction_curve,
         "executed_lane_iters_per_frame": executed_lane_iters,
         "gathers_per_iter": depth + 4,
         "device": jax.devices()[0].device_kind,
