@@ -180,6 +180,7 @@ def march(
     assume_resident: bool = False,
     step_budget=None,
     _check_const_pools: bool = True,
+    _expose_live_t: bool = False,
 ) -> MarchResult:
     """March N rays; returns a MarchResult of arrays over the ray batch.
 
@@ -503,9 +504,21 @@ def march(
     hsize = size + (1.0 - mlf) * (leafsize - size)
 
     twig_idx_c = jnp.clip(twig_idx, 0, world.twig.shape[0] - 1)
+    if _expose_live_t:
+        # Stage-resume support (ops/march_compact.py): rays still LIVE at
+        # the step cap report their current parameter instead of inf, so a
+        # later march(t_start=...) resumes them bit-exactly.  Dead rays
+        # (miss sentinel / never-live) still report inf.  Fast path only —
+        # the multi-carry debug loop doesn't expose its live mask here.
+        if steps_aov is True:
+            raise ValueError("_expose_live_t requires the fast-path loop")
+        still_live = ((state >> 31) & 1) == 0
+        t_ret = jnp.where(hit | still_live, t, jnp.float32(jnp.inf))
+    else:
+        t_ret = jnp.where(hit, t, jnp.float32(jnp.inf))
     return MarchResult(
         hit=hit,
-        t=jnp.where(hit, t, jnp.float32(jnp.inf)),
+        t=t_ret,
         material=jnp.where(hit, material, 0),
         cell_bmin=jnp.stack(
             [
