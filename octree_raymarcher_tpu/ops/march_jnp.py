@@ -167,6 +167,310 @@ def _locate(world, px, py, pz, assume_resident: bool = False):
     return word, bmx, bmy, bmz, size, twig_off, in_chunk
 
 
+def _pack_state(t0, live0):
+    """Pack (t parameter, 0/1 liveness) into the single-int32 march state
+    (module docstring): the bit pattern of f32 t with the sign bit meaning
+    "done"; dead rays get the MISS sentinel.  t0 is clamped to _T_CLAMP so
+    every later state transition stays bit-exact (degenerate slab entries
+    can produce t0 ~ 1e32, where the miss-sentinel lerp is no longer exact:
+    ulp(1e32) > |miss|; in-loop t growth is self-limited)."""
+    t0bits = _f2i(jnp.minimum(t0, jnp.float32(_T_CLAMP))) & _ABS_MASK
+    return t0bits + (1 - live0) * (jnp.int32(_MISS_BITS) - t0bits)
+
+
+def _entry_t_live(world, o, d, live_start=None):
+    """World-entry slab test -> (t0 f32[N], live0 0/1 int32[N]): advance
+    rays starting outside the world to its surface, kill rays that never
+    enter.  This IS march()'s entry computation (factored so the
+    stage-compacted schedule in ops/march_compact.py cannot drift from
+    it)."""
+    ax, ay, az = o[:, 0], o[:, 1], o[:, 2]
+    bx, by, bz = d[:, 0], d[:, 1], d[:, 2]
+    gx, gy, gz = _safe_inv(bx), _safe_inv(by), _safe_inv(bz)
+    cs = jnp.float32(world.chunksize)
+    w, h, dd = world.dims
+    lox = world.chunkcoordmin[0] * cs
+    loy = world.chunkcoordmin[1] * cs
+    loz = world.chunkcoordmin[2] * cs
+    hix, hiy, hiz = lox + w * cs, loy + h * cs, loz + dd * cs
+    eps = jnp.float32(EPS)
+
+    t1x = jnp.minimum((lox - ax) * gx, (hix - ax) * gx)
+    t2x = jnp.maximum((lox - ax) * gx, (hix - ax) * gx)
+    t1y = jnp.minimum((loy - ay) * gy, (hiy - ay) * gy)
+    t2y = jnp.maximum((loy - ay) * gy, (hiy - ay) * gy)
+    t1z = jnp.minimum((loz - az) * gz, (hiz - az) * gz)
+    t2z = jnp.maximum((loz - az) * gz, (hiz - az) * gz)
+    tnear = jnp.maximum(t1x, jnp.maximum(t1y, t1z))
+    tfar = jnp.minimum(t2x, jnp.minimum(t2y, t2z))
+    inside0 = (
+        (ax >= lox).astype(jnp.int32) * (ax <= hix).astype(jnp.int32)
+        * (ay >= loy).astype(jnp.int32) * (ay <= hiy).astype(jnp.int32)
+        * (az >= loz).astype(jnp.int32) * (az <= hiz).astype(jnp.int32)
+    )
+    enter_ok = ((tfar > tnear) & (tnear > 0)).astype(jnp.int32)
+    t0 = (1.0 - inside0.astype(jnp.float32)) * (tnear + eps)
+    live0 = jnp.clip(inside0 + enter_ok, 0, 1)
+    if live_start is not None:
+        # Caller-masked rays (e.g. shadow rays for miss pixels) start
+        # dead and cost zero loop iterations.
+        live0 = live0 * jnp.asarray(live_start).astype(jnp.int32)
+    return t0, live0
+
+
+def entry_state(world: DeviceWorld, origins, dirs, live_start=None):
+    """Packed single-int32 march state at the world entry (slab test +
+    liveness), bit-identical to how march() starts its fast loop."""
+    world = jax.tree_util.tree_map(jnp.asarray, world)
+    o = jnp.asarray(origins, dtype=jnp.float32)
+    d = jnp.asarray(dirs, dtype=jnp.float32)
+    t0, live0 = _entry_t_live(world, o, d, live_start)
+    return _pack_state(t0, live0)
+
+
+def resume_state(t_start, live_start=None):
+    """Packed march state resuming at parameter ``t_start`` with 0/1
+    liveness ``live_start`` — bit-identical to march(t_start=..)'s start."""
+    t0 = jnp.maximum(jnp.asarray(t_start, dtype=jnp.float32), 0.0)
+    live0 = (
+        jnp.ones(t0.shape[0], dtype=jnp.int32)
+        if live_start is None
+        else jnp.asarray(live_start).astype(jnp.int32)
+    )
+    return _pack_state(t0, live0)
+
+
+def _march_env(world, o, d, assume_resident):
+    """Closures of the march loop body over one ray batch — the cell/texel
+    classification, the escape advance, and the single-carry state step.
+    Shared by march() and run_fast_loop() (formulas unchanged since the
+    round-1 kernel; see the module docstring for the measured design)."""
+    ax, ay, az = o[:, 0], o[:, 1], o[:, 2]
+    bx, by, bz = d[:, 0], d[:, 1], d[:, 2]
+    gx, gy, gz = _safe_inv(bx), _safe_inv(by), _safe_inv(bz)
+
+    twig_occ = world.twig_occ
+    cs = jnp.float32(world.chunksize)
+    w, h, d_ = world.dims
+    lox = world.chunkcoordmin[0] * cs
+    loy = world.chunkcoordmin[1] * cs
+    loz = world.chunkcoordmin[2] * cs
+    hix, hiy, hiz = lox + w * cs, loy + h * cs, loz + d_ * cs
+    eps = jnp.float32(EPS)
+    bigeps = jnp.float32(BIGEPS)
+    occ_cap = twig_occ.shape[0]
+    inv_twig = jnp.float32(1.0 / TWIG_SIZE)
+
+    def solid_probe(word, bmx, bmy, bmz, size, twig_off, px, py, pz):
+        """Shared cell/texel classification.  Returns SoA pieces:
+        (m_hitcell 0/1, ex, ey, ez, esize) where (ex..) is the escape box
+        (texel box inside twigs, else the cell box)."""
+        ty = (word >> 30) & 3
+        m_leaf = (ty & 1) * (1 - ((ty >> 1) & 1))          # 0b01
+        m_twig = (ty & 1) * ((ty >> 1) & 1)                # 0b11
+        payload = word & _U30
+
+        leafsize = size * inv_twig
+        inv_ls = 1.0 / leafsize
+        tox = jnp.clip(((px - bmx) * inv_ls).astype(jnp.int32), 0, TWIG_SIZE - 1)
+        toy = jnp.clip(((py - bmy) * inv_ls).astype(jnp.int32), 0, TWIG_SIZE - 1)
+        toz = jnp.clip(((pz - bmz) * inv_ls).astype(jnp.int32), 0, TWIG_SIZE - 1)
+        tword = toz * (TWIG_SIZE * TWIG_SIZE) + toy * TWIG_SIZE + tox
+        occ_word = twig_occ[
+            jnp.clip((twig_off + payload) * 2 + (tword >> 5), 0, occ_cap - 1)
+        ].astype(jnp.int32)
+        tex_solid = (occ_word >> (tword & 31)) & 1
+
+        m_hitcell = jnp.clip(m_leaf + m_twig * tex_solid, 0, 1)
+
+        mtf = m_twig.astype(jnp.float32)
+        ex = bmx + mtf * (tox.astype(jnp.float32) * leafsize)
+        ey = bmy + mtf * (toy.astype(jnp.float32) * leafsize)
+        ez = bmz + mtf * (toz.astype(jnp.float32) * leafsize)
+        esize = size + mtf * (leafsize - size)
+        return m_hitcell, ex, ey, ez, esize
+
+    def classify_and_escape(t, live):
+        """One march step's shared geometry: returns (hit_now, dead_now,
+        esc) for rays at parameter ``t`` with 0/1 ``live`` masks."""
+        px, py, pz = ax + bx * t, ay + by * t, az + bz * t
+
+        in_world = (
+            (px >= lox).astype(jnp.int32) * (px <= hix).astype(jnp.int32)
+            * (py >= loy).astype(jnp.int32) * (py <= hiy).astype(jnp.int32)
+            * (pz >= loz).astype(jnp.int32) * (pz <= hiz).astype(jnp.int32)
+        )
+        word, bmx, bmy, bmz, size, twig_off, in_chunk = _locate(
+            world, px, py, pz, assume_resident
+        )
+        resident = in_world * in_chunk
+        live_eff = live * resident
+
+        m_hitcell, ex, ey, ez, esize = solid_probe(
+            word, bmx, bmy, bmz, size, twig_off, px, py, pz
+        )
+        hit_now = live_eff * m_hitcell
+        dead_now = live * (1 - resident)
+
+        # --- advance: escape the (cell | texel) box ------------------------
+        dx = jnp.maximum((ex - px) * gx, (ex + esize - px) * gx)
+        dy = jnp.maximum((ey - py) * gy, (ey + esize - py) * gy)
+        dz = jnp.maximum((ez - pz) * gz, (ez + esize - pz) * gz)
+        esc = jnp.minimum(dx, jnp.minimum(dy, dz))
+        small = (esc < eps).astype(jnp.float32)
+        esc = esc + small * (bigeps - esc) + eps
+        return hit_now, dead_now, esc
+
+    miss_b = jnp.int32(_MISS_BITS)
+    t_clamp = jnp.float32(_T_CLAMP)
+
+    def step_state(state):
+        live = 1 - ((state >> 31) & 1)          # sign bit clear = live
+        t = jnp.minimum(_i2f(state & _ABS_MASK), t_clamp)
+        hit_now, dead_now, esc = classify_and_escape(t, live)
+        adv = live * (1 - hit_now) * (1 - dead_now)
+        # Select the next state in INT space: modular arithmetic makes
+        # x + m*(y-x) exact for 0/1 m even across int32 wraparound, and
+        # "hit" is just the sign bit (state | 0x80000000 keeps -0.0 for
+        # hits at t=0, which a float lerp would round away to +0.0).
+        cand = _f2i(t + esc)
+        hitb = state | jnp.int32(~_ABS_MASK)   # set sign bit (= -t, exact)
+        return (
+            state
+            + adv * (cand - state)
+            + hit_now * (hitb - state)
+            + dead_now * (miss_b - state)
+        )
+
+    return classify_and_escape, step_state
+
+
+def _run_loop(step_state, state0, max_steps, unroll):
+    """The single-carry while loop: advance packed states until every ray
+    is done or ``max_steps`` iterations ran (rounded up to the unroll).
+    Returns (state, iters) where ``iters`` is the scalar iteration count
+    actually executed (a multiple of ``unroll``) — the per-tile lockstep
+    lane cost the compact schedule's accounting sums."""
+
+    def cond(s):
+        state, step = s
+        # any live ray has its sign bit clear => int32 max >= 0
+        return (step < max_steps) & (jnp.max(state) >= 0)
+
+    def body(s):
+        state, step = s
+        for _ in range(unroll):
+            state = step_state(state)
+        return (state, step + unroll)
+
+    return jax.lax.while_loop(cond, body, (state0, jnp.int32(0)))
+
+
+def run_fast_loop(
+    world: DeviceWorld,
+    origins,
+    dirs,
+    state0,
+    max_steps: int,
+    unroll: int = 4,
+    assume_resident: bool = False,
+):
+    """Advance packed march states (entry_state/resume_state) by up to
+    ``max_steps`` loop iterations.  Returns (state, iters).  Composing
+    stages of this loop is bit-identical to one longer march as long as
+    every stage bound is a multiple of ``unroll`` (the staged-resume
+    mechanism of ops/march_compact.py and the coarse steps AOV)."""
+    world = jax.tree_util.tree_map(jnp.asarray, world)
+    o = jnp.asarray(origins, dtype=jnp.float32)
+    d = jnp.asarray(dirs, dtype=jnp.float32)
+    _, step_state = _march_env(world, o, d, assume_resident)
+    return _run_loop(step_state, state0, max_steps, unroll)
+
+
+def _hit_record(world, o, d, hit, t, assume_resident, still_live, steps):
+    """Post-loop hit-record reconstruction at the frozen ray position
+    (march() module docstring item 2): one extra point-location instead of
+    carrying the record through the loop.  ``still_live`` (bool[N] or
+    None) is the _expose_live_t resume support — live-at-cap rays report
+    their current parameter instead of inf."""
+    ax, ay, az = o[:, 0], o[:, 1], o[:, 2]
+    bx, by, bz = d[:, 0], d[:, 1], d[:, 2]
+    inv_twig = jnp.float32(1.0 / TWIG_SIZE)
+
+    px, py, pz = ax + bx * t, ay + by * t, az + bz * t
+    word, bmx, bmy, bmz, size, twig_off, _ = _locate(
+        world, px, py, pz, assume_resident
+    )
+    ty = (word >> 30) & 3
+    m_leaf = (ty & 1) * (1 - ((ty >> 1) & 1))
+    payload = word & _U30
+
+    leafsize = size * inv_twig
+    inv_ls = 1.0 / leafsize
+    tox = jnp.clip(((px - bmx) * inv_ls).astype(jnp.int32), 0, TWIG_SIZE - 1)
+    toy = jnp.clip(((py - bmy) * inv_ls).astype(jnp.int32), 0, TWIG_SIZE - 1)
+    toz = jnp.clip(((pz - bmz) * inv_ls).astype(jnp.int32), 0, TWIG_SIZE - 1)
+    tword = toz * (TWIG_SIZE * TWIG_SIZE) + toy * TWIG_SIZE + tox
+    twig_idx = (twig_off + payload) * TWIG_WORDS + tword
+    tex_mat = world.twig[
+        jnp.clip(twig_idx, 0, world.twig.shape[0] - 1)
+    ].astype(jnp.int32)
+    material = m_leaf * payload + (1 - m_leaf) * tex_mat
+
+    mlf = m_leaf.astype(jnp.float32)
+    hbx = bmx + (1.0 - mlf) * (tox.astype(jnp.float32) * leafsize)
+    hby = bmy + (1.0 - mlf) * (toy.astype(jnp.float32) * leafsize)
+    hbz = bmz + (1.0 - mlf) * (toz.astype(jnp.float32) * leafsize)
+    hsize = size + (1.0 - mlf) * (leafsize - size)
+
+    twig_idx_c = jnp.clip(twig_idx, 0, world.twig.shape[0] - 1)
+    if still_live is not None:
+        t_ret = jnp.where(hit | still_live, t, jnp.float32(jnp.inf))
+    else:
+        t_ret = jnp.where(hit, t, jnp.float32(jnp.inf))
+    return MarchResult(
+        hit=hit,
+        t=t_ret,
+        material=jnp.where(hit, material, 0),
+        cell_bmin=jnp.stack(
+            [
+                jnp.where(hit, hbx, 0.0),
+                jnp.where(hit, hby, 0.0),
+                jnp.where(hit, hbz, 0.0),
+            ],
+            axis=-1,
+        ),
+        cell_size=jnp.where(hit, hsize, 0.0),
+        steps=steps,
+        texel=jnp.where(hit & (m_leaf == 0), twig_idx_c, -1),
+    )
+
+
+def reconstruct(
+    world: DeviceWorld,
+    origins,
+    dirs,
+    state,
+    assume_resident: bool = False,
+    expose_live_t: bool = False,
+    steps=None,
+) -> MarchResult:
+    """Decode a packed march state into the MarchResult march() would
+    return for it: hit/t from the state bits, then the post-loop
+    hit-record reconstruction.  ``expose_live_t=True`` makes live-at-cap
+    rays report their resume parameter (see march _expose_live_t)."""
+    world = jax.tree_util.tree_map(jnp.asarray, world)
+    o = jnp.asarray(origins, dtype=jnp.float32)
+    d = jnp.asarray(dirs, dtype=jnp.float32)
+    miss_b = jnp.int32(_MISS_BITS)
+    neg = (state >> 31) & 1
+    hit = (neg == 1) & (state != miss_b)
+    t = _i2f(state & _ABS_MASK)
+    still_live = (neg == 0) if expose_live_t else None
+    s_steps = jnp.zeros(state.shape[0], dtype=jnp.int32) if steps is None else steps
+    return _hit_record(world, o, d, hit, t, assume_resident, still_live, s_steps)
+
+
 def march(
     world: DeviceWorld,
     origins,
@@ -231,44 +535,8 @@ def march(
     dd = jnp.asarray(dirs, dtype=jnp.float32)
     n = o.shape[0]
 
-    ax, ay, az = o[:, 0], o[:, 1], o[:, 2]
-    bx, by, bz = dd[:, 0], dd[:, 1], dd[:, 2]
-    gx, gy, gz = _safe_inv(bx), _safe_inv(by), _safe_inv(bz)
-
-    twig_occ = world.twig_occ
-    cs = jnp.float32(world.chunksize)
-    w, h, d = world.dims
-    lox = world.chunkcoordmin[0] * cs
-    loy = world.chunkcoordmin[1] * cs
-    loz = world.chunkcoordmin[2] * cs
-    hix, hiy, hiz = lox + w * cs, loy + h * cs, loz + d * cs
-    eps = jnp.float32(EPS)
-    bigeps = jnp.float32(BIGEPS)
-    occ_cap = twig_occ.shape[0]
-    inv_twig = jnp.float32(1.0 / TWIG_SIZE)
-
     if t_start is None:
-        # --- entry: advance rays starting outside the world to its surface -
-        t1x = jnp.minimum((lox - ax) * gx, (hix - ax) * gx)
-        t2x = jnp.maximum((lox - ax) * gx, (hix - ax) * gx)
-        t1y = jnp.minimum((loy - ay) * gy, (hiy - ay) * gy)
-        t2y = jnp.maximum((loy - ay) * gy, (hiy - ay) * gy)
-        t1z = jnp.minimum((loz - az) * gz, (hiz - az) * gz)
-        t2z = jnp.maximum((loz - az) * gz, (hiz - az) * gz)
-        tnear = jnp.maximum(t1x, jnp.maximum(t1y, t1z))
-        tfar = jnp.minimum(t2x, jnp.minimum(t2y, t2z))
-        inside0 = (
-            (ax >= lox).astype(jnp.int32) * (ax <= hix).astype(jnp.int32)
-            * (ay >= loy).astype(jnp.int32) * (ay <= hiy).astype(jnp.int32)
-            * (az >= loz).astype(jnp.int32) * (az <= hiz).astype(jnp.int32)
-        )
-        enter_ok = ((tfar > tnear) & (tnear > 0)).astype(jnp.int32)
-        t0 = (1.0 - inside0.astype(jnp.float32)) * (tnear + eps)
-        live0 = jnp.clip(inside0 + enter_ok, 0, 1)
-        if live_start is not None:
-            # Caller-masked rays (e.g. shadow rays for miss pixels) start
-            # dead and cost zero loop iterations.
-            live0 = live0 * jnp.asarray(live_start).astype(jnp.int32)
+        t0, live0 = _entry_t_live(world, o, dd, live_start)
     else:
         # --- resume: caller supplies the start parameter and liveness -------
         t0 = jnp.maximum(jnp.asarray(t_start, dtype=jnp.float32), 0.0)
@@ -278,65 +546,7 @@ def march(
             else jnp.asarray(live_start).astype(jnp.int32)
         )
 
-    def solid_probe(word, bmx, bmy, bmz, size, twig_off, px, py, pz):
-        """Shared cell/texel classification.  Returns SoA pieces:
-        (m_hitcell 0/1, ex, ey, ez, esize) where (ex..) is the escape box
-        (texel box inside twigs, else the cell box)."""
-        ty = (word >> 30) & 3
-        m_leaf = (ty & 1) * (1 - ((ty >> 1) & 1))          # 0b01
-        m_twig = (ty & 1) * ((ty >> 1) & 1)                # 0b11
-        payload = word & _U30
-
-        leafsize = size * inv_twig
-        inv_ls = 1.0 / leafsize
-        tox = jnp.clip(((px - bmx) * inv_ls).astype(jnp.int32), 0, TWIG_SIZE - 1)
-        toy = jnp.clip(((py - bmy) * inv_ls).astype(jnp.int32), 0, TWIG_SIZE - 1)
-        toz = jnp.clip(((pz - bmz) * inv_ls).astype(jnp.int32), 0, TWIG_SIZE - 1)
-        tword = toz * (TWIG_SIZE * TWIG_SIZE) + toy * TWIG_SIZE + tox
-        occ_word = twig_occ[
-            jnp.clip((twig_off + payload) * 2 + (tword >> 5), 0, occ_cap - 1)
-        ].astype(jnp.int32)
-        tex_solid = (occ_word >> (tword & 31)) & 1
-
-        m_hitcell = jnp.clip(m_leaf + m_twig * tex_solid, 0, 1)
-
-        mtf = m_twig.astype(jnp.float32)
-        ex = bmx + mtf * (tox.astype(jnp.float32) * leafsize)
-        ey = bmy + mtf * (toy.astype(jnp.float32) * leafsize)
-        ez = bmz + mtf * (toz.astype(jnp.float32) * leafsize)
-        esize = size + mtf * (leafsize - size)
-        return m_hitcell, ex, ey, ez, esize
-
-    def classify_and_escape(t, live):
-        """One march step's shared geometry: returns (hit_now, dead_now,
-        esc) for rays at parameter ``t`` with 0/1 ``live`` masks."""
-        px, py, pz = ax + bx * t, ay + by * t, az + bz * t
-
-        in_world = (
-            (px >= lox).astype(jnp.int32) * (px <= hix).astype(jnp.int32)
-            * (py >= loy).astype(jnp.int32) * (py <= hiy).astype(jnp.int32)
-            * (pz >= loz).astype(jnp.int32) * (pz <= hiz).astype(jnp.int32)
-        )
-        word, bmx, bmy, bmz, size, twig_off, in_chunk = _locate(
-            world, px, py, pz, assume_resident
-        )
-        resident = in_world * in_chunk
-        live_eff = live * resident
-
-        m_hitcell, ex, ey, ez, esize = solid_probe(
-            word, bmx, bmy, bmz, size, twig_off, px, py, pz
-        )
-        hit_now = live_eff * m_hitcell
-        dead_now = live * (1 - resident)
-
-        # --- advance: escape the (cell | texel) box ------------------------
-        dx = jnp.maximum((ex - px) * gx, (ex + esize - px) * gx)
-        dy = jnp.maximum((ey - py) * gy, (ey + esize - py) * gy)
-        dz = jnp.maximum((ez - pz) * gz, (ez + esize - pz) * gz)
-        esc = jnp.minimum(dx, jnp.minimum(dy, dz))
-        small = (esc < eps).astype(jnp.float32)
-        esc = esc + small * (bigeps - esc) + eps
-        return hit_now, dead_now, esc
+    classify_and_escape, step_state = _march_env(world, o, dd, assume_resident)
 
     if steps_aov is True:
         # ---------------- multi-carry debug loop (steps counter) -----------
@@ -376,47 +586,12 @@ def march(
     else:
         # ---------------- single-int32-carry fast loop ----------------------
         miss_b = jnp.int32(_MISS_BITS)
-        miss_f = jnp.float32(_MISS_F)
-        t_clamp = jnp.float32(_T_CLAMP)
-
-        def step_state(state):
-            live = 1 - ((state >> 31) & 1)          # sign bit clear = live
-            t = jnp.minimum(_i2f(state & _ABS_MASK), t_clamp)
-            hit_now, dead_now, esc = classify_and_escape(t, live)
-            adv = live * (1 - hit_now) * (1 - dead_now)
-            # Select the next state in INT space: modular arithmetic makes
-            # x + m*(y-x) exact for 0/1 m even across int32 wraparound, and
-            # "hit" is just the sign bit (state | 0x80000000 keeps -0.0 for
-            # hits at t=0, which a float lerp would round away to +0.0).
-            cand = _f2i(t + esc)
-            hitb = state | jnp.int32(~_ABS_MASK)   # set sign bit (= -t, exact)
-            return (
-                state
-                + adv * (cand - state)
-                + hit_now * (hitb - state)
-                + dead_now * (miss_b - state)
-            )
 
         # t0 is semantically >= 0 for live rays but can be -0.0 (the
         # (1-inside)*(tnear+eps) product with tnear < 0 for inside rays);
-        # clear the sign bit so it doesn't read as "done".  Clamp it too:
-        # degenerate slab entries can produce t0 ~ 1e32, where the
-        # miss-sentinel lerp is no longer exact (ulp(1e32) > |miss|);
-        # in-loop t growth is self-limited (<= clamp + cell escape), so
-        # clamping the start keeps every state transition bit-exact.
-        t0bits = _f2i(jnp.minimum(t0, t_clamp)) & _ABS_MASK
-        state0 = t0bits + (1 - live0) * (miss_b - t0bits)
-
-        def cond(s):
-            state, step = s
-            # any live ray has its sign bit clear => int32 max >= 0
-            return (step < max_steps) & (jnp.max(state) >= 0)
-
-        def body(s):
-            state, step = s
-            for _ in range(unroll):
-                state = step_state(state)
-            return (state, step + unroll)
+        # _pack_state clears the sign bit so it doesn't read as "done",
+        # and clamps (see its docstring).
+        state0 = _pack_state(t0, live0)
 
         if step_budget is not None:
             # Per-ray budget, charged stride-at-a-time at stage boundaries
@@ -436,13 +611,7 @@ def march(
                 state = state + no_budget * (miss_b - state)
                 entered = live_before * (1 - no_budget)
 
-                def stage_cond(s):
-                    st, step = s
-                    return (step < stride) & (jnp.max(st) >= 0)
-
-                state, _k = jax.lax.while_loop(
-                    stage_cond, body, (state, jnp.int32(0))
-                )
+                state, _k = _run_loop(step_state, state, stride, unroll)
                 charged = charged + entered * stride
             s_steps = charged
         elif steps_aov == "coarse":
@@ -460,50 +629,16 @@ def march(
             state = state0
             for _ in range(stages):
                 live_before = 1 - ((state >> 31) & 1)
-
-                def stage_cond(s):
-                    st, step = s
-                    return (step < stride) & (jnp.max(st) >= 0)
-
-                state, k = jax.lax.while_loop(
-                    stage_cond, body, (state, jnp.int32(0))
-                )
+                state, k = _run_loop(step_state, state, stride, unroll)
                 s_steps = s_steps + live_before * k
         else:
-            state, _ = jax.lax.while_loop(cond, body, (state0, jnp.int32(0)))
+            state, _ = _run_loop(step_state, state0, max_steps, unroll)
             s_steps = jnp.zeros(n, dtype=jnp.int32)
         neg = (state >> 31) & 1
         hit = (neg == 1) & (state != miss_b)
         t = _i2f(state & _ABS_MASK)
 
     # --- post-loop: reconstruct the hit record at the frozen position ------
-    px, py, pz = ax + bx * t, ay + by * t, az + bz * t
-    word, bmx, bmy, bmz, size, twig_off, _ = _locate(
-        world, px, py, pz, assume_resident
-    )
-    ty = (word >> 30) & 3
-    m_leaf = (ty & 1) * (1 - ((ty >> 1) & 1))
-    payload = word & _U30
-
-    leafsize = size * inv_twig
-    inv_ls = 1.0 / leafsize
-    tox = jnp.clip(((px - bmx) * inv_ls).astype(jnp.int32), 0, TWIG_SIZE - 1)
-    toy = jnp.clip(((py - bmy) * inv_ls).astype(jnp.int32), 0, TWIG_SIZE - 1)
-    toz = jnp.clip(((pz - bmz) * inv_ls).astype(jnp.int32), 0, TWIG_SIZE - 1)
-    tword = toz * (TWIG_SIZE * TWIG_SIZE) + toy * TWIG_SIZE + tox
-    twig_idx = (twig_off + payload) * TWIG_WORDS + tword
-    tex_mat = world.twig[
-        jnp.clip(twig_idx, 0, world.twig.shape[0] - 1)
-    ].astype(jnp.int32)
-    material = m_leaf * payload + (1 - m_leaf) * tex_mat
-
-    mlf = m_leaf.astype(jnp.float32)
-    hbx = bmx + (1.0 - mlf) * (tox.astype(jnp.float32) * leafsize)
-    hby = bmy + (1.0 - mlf) * (toy.astype(jnp.float32) * leafsize)
-    hbz = bmz + (1.0 - mlf) * (toz.astype(jnp.float32) * leafsize)
-    hsize = size + (1.0 - mlf) * (leafsize - size)
-
-    twig_idx_c = jnp.clip(twig_idx, 0, world.twig.shape[0] - 1)
     if _expose_live_t:
         # Stage-resume support (ops/march_compact.py): rays still LIVE at
         # the step cap report their current parameter instead of inf, so a
@@ -513,25 +648,10 @@ def march(
         if steps_aov is True:
             raise ValueError("_expose_live_t requires the fast-path loop")
         still_live = ((state >> 31) & 1) == 0
-        t_ret = jnp.where(hit | still_live, t, jnp.float32(jnp.inf))
     else:
-        t_ret = jnp.where(hit, t, jnp.float32(jnp.inf))
-    return MarchResult(
-        hit=hit,
-        t=t_ret,
-        material=jnp.where(hit, material, 0),
-        cell_bmin=jnp.stack(
-            [
-                jnp.where(hit, hbx, 0.0),
-                jnp.where(hit, hby, 0.0),
-                jnp.where(hit, hbz, 0.0),
-            ],
-            axis=-1,
-        ),
-        cell_size=jnp.where(hit, hsize, 0.0),
-        steps=s_steps,
-        texel=jnp.where(hit & (m_leaf == 0), twig_idx_c, -1),
-    )
+        still_live = None
+    return _hit_record(world, o, dd, hit, t, assume_resident, still_live,
+                       s_steps)
 
 
 def march_tiled(
@@ -720,4 +840,13 @@ def _descend(world: DeviceWorld, p, tree_off):
     return word_u, jnp.stack([bmx, bmy, bmz], axis=-1), size
 
 
-__all__ = ["march", "march_tiled", "march_frame", "MarchResult"]
+__all__ = [
+    "march",
+    "march_tiled",
+    "march_frame",
+    "MarchResult",
+    "entry_state",
+    "resume_state",
+    "run_fast_loop",
+    "reconstruct",
+]
