@@ -139,7 +139,12 @@ def run_mode(mode: str, iters: int):
     elif mode == "shadow_ray":
         # two full-screen marches: camera rays + per-hit shadow rays
         cfg = RenderConfig(shadow="ray", max_steps=512, assume_resident=resident)
-    elif mode in ("full_frame", "full_frame_fused"):
+    elif mode == "plain_compact":
+        # stage-compacted march schedule: ~3x fewer executed march lanes
+        # (the lane cost is read back at the end of this worker)
+        cfg = RenderConfig(shadow="none", max_steps=512, assume_resident=resident)
+        kw = dict(compact=True)
+    elif mode in ("full_frame", "full_frame_fused", "full_frame_compact"):
         # the full reference frame: shadowed + atlas-textured + env sky
         from octree_raymarcher_tpu.shade.atlas import default_atlas
         from octree_raymarcher_tpu.shade.envmap import default_envmap
@@ -147,7 +152,8 @@ def run_mode(mode: str, iters: int):
         cfg = RenderConfig(shadow="map", max_steps=512, assume_resident=resident)
         kw = dict(atlas=jnp.asarray(default_atlas(resolution=32)),
                   envmap=jnp.asarray(default_envmap(64, 128)),
-                  fused=mode.endswith("fused"))
+                  fused=mode.endswith("fused"),
+                  compact=mode.endswith("compact"))
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
@@ -174,6 +180,16 @@ def run_mode(mode: str, iters: int):
         "iter_ms": [round(v, 2) for v in iter_ms],
         "t_compile_s": round(t_compile, 1),
     }
+
+    if kw.get("compact"):
+        # Executed-lane cost of the compacted schedule: the one valid
+        # device-efficiency metric on this harness (counted on device; the
+        # int() is this worker's only readback, strictly after all timing).
+        full = render_frame(world, origins, dirs, eye, cfg=cfg, tile=tile,
+                            **kw)
+        rec["executed_lane_iters"] = int(
+            jax.block_until_ready(full["lane_iters"])
+        )
 
     if os.environ.get("BENCH_MATERIALIZE", "0") == "1":
         # One frame's true end-to-end cost: readback-forced materialization
@@ -232,7 +248,9 @@ def main():
 
     modes = {}
     if os.environ.get("BENCH_MODES", "1") == "1":
-        for mode in ("plain_fused", "shadow_map", "shadow_ray", "full_frame", "full_frame_fused"):
+        for mode in ("plain_fused", "plain_compact", "shadow_map",
+                     "shadow_ray", "full_frame", "full_frame_fused",
+                     "full_frame_compact"):
             m = _spawn(mode, iters)
             modes[mode] = {
                 "rays_per_s": round(n_rays / (m["dispatch_ms_mean"] / 1e3)),
@@ -240,8 +258,9 @@ def main():
                 "std_ms": m["dispatch_ms_std"],
                 "iter_ms": m["iter_ms"],
             }
-            if "materialize_s" in m:
-                modes[mode]["materialize_s"] = m["materialize_s"]
+            for k in ("materialize_s", "executed_lane_iters"):
+                if k in m:
+                    modes[mode][k] = m[k]
 
     baseline_path = os.path.join(HERE, "bench_baseline.json")
     if os.path.exists(baseline_path):

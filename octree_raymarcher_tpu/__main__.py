@@ -75,7 +75,8 @@ def cmd_render(args):
     o, d = cam.rays()
     cfg = RenderConfig(shadow=args.shadow, max_steps=args.max_steps)
     out = render_frame(dev, jnp.asarray(o), jnp.asarray(d),
-                       jnp.asarray(cam.position, dtype=jnp.float32), cfg=cfg)
+                       jnp.asarray(cam.position, dtype=jnp.float32), cfg=cfg,
+                       compact=args.compact)
     rgb = np.clip(np.asarray(out["rgb"]).reshape(height, width, 3), 0, 1)
     save_png(args.out, (rgb * 255).astype(np.uint8))
     hit = float(np.asarray(out["hit"]).mean())
@@ -91,23 +92,41 @@ def cmd_info(args):
     print(json.dumps(rep, indent=1, default=str))
 
 
-def cmd_demo(args):
-    sys.argv = ["demo.py", "--frames", str(args.frames), "--out", args.out,
-                "--res", args.res, "--dims", args.dims,
-                "--depth", str(args.depth)]
+def _load_root_script(name: str):
+    """Import a repo-root driver script (demo.py / bench_fit.py) as a
+    module — no exec, no sys.argv patching (VERDICT r4 #10).  The scripts
+    guard their entry behind __main__, so loading only binds main()."""
+    import importlib.util
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, repo)
-    exec(open(os.path.join(repo, "demo.py")).read(), {"__name__": "__main__"})
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(repo, f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def cmd_demo(args):
+    argv = ["--frames", str(args.frames), "--out", args.out,
+            "--res", args.res, "--dims", args.dims,
+            "--depth", str(args.depth)]
+    if args.platform == "cpu":
+        # forwarded for real (ADVICE r4: this flag used to be ignored)
+        argv += ["--platform", "cpu"]
+    _load_root_script("demo").main(argv)
 
 
 def cmd_fit(args):
-    os.environ.setdefault("FIT_STEPS", str(args.steps))
-    os.environ.setdefault("FIT_RES", str(args.res_fit))
+    # direct assignment, not setdefault: CLI flags must win over any
+    # pre-existing environment (ADVICE r4)
+    os.environ["FIT_STEPS"] = str(args.steps)
+    os.environ["FIT_RES"] = str(args.res_fit)
     if args.platform == "cpu":
         os.environ["FIT_PLATFORM"] = "cpu"
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, repo)
-    exec(open(os.path.join(repo, "bench_fit.py")).read(), {"__name__": "__main__"})
+    _load_root_script("bench_fit").main()
 
 
 def main(argv=None):
@@ -125,6 +144,8 @@ def main(argv=None):
     r.add_argument("--fov", type=float, default=70.0)
     r.add_argument("--shadow", default="map", choices=("none", "ray", "map"))
     r.add_argument("--max-steps", type=int, default=512)
+    r.add_argument("--compact", action="store_true",
+                   help="stage-compacted march schedule (ops/march_compact)")
     r.set_defaults(fn=cmd_render)
 
     i = sub.add_parser("info", help="world + allocator memory report")

@@ -156,8 +156,53 @@ def ray_shadow(world: DeviceWorld, res, points, normals, lights: LightRig, cfg):
 # cost ~26 ms/frame of host glue (~15 eager dispatches through the axon
 # tunnel + rebuilding a 512^2 numpy bundle every frame) for a march that
 # itself costs ~1 ms (VERDICT r3 missing #4; breakdown in
-# docs/PERF_NOTES.md round 4).
+# docs/PERF_NOTES.md round 4).  Bounded (ADVICE r4): an animated sun
+# never re-hits a key, and each entry holds ~6 MB of device arrays at
+# 512^2, so only the most recent few directions are kept.
+_SHADOW_CACHE_MAX = 4
 _shadow_bundle_cache: dict = {}
+
+
+def shadow_bundle(ldir64, H, W, dims, cs, margin: float = 1.1):
+    """Build the world-center-relative ortho light-ray bundle + projection
+    (host numpy): the pure-geometry half of render_shadowmap, factored so
+    diagnostics (tools/roofline_march.py's shadow lane accounting) march
+    the EXACT bundle the shadow pass marches.  Returns (origins_rel
+    f32[H*W,3], dirs f32[H*W,3], pv_rel f32[4,4], extent_half f32[3])."""
+    ldir64 = np.asarray(ldir64, dtype=np.float64)
+    ldir64 = ldir64 / np.linalg.norm(ldir64)
+    w, h, d = dims
+    extent = np.array([w, h, d], dtype=np.float64) * cs
+    radius = float(np.linalg.norm(extent) * 0.5 * margin)
+
+    # Ortho ray bundle along the light direction in the center-relative
+    # frame: the emitter plane sits behind the world so every ray
+    # crosses it.
+    plane_rel = -ldir64 * (2.0 * radius)
+    up = np.array([0.0, 1.0, 0.0])
+    if abs(np.dot(ldir64, up)) > 0.99:
+        up = np.array([0.0, 0.0, 1.0])
+    view_rel = look_at(plane_rel, (0.0, 0.0, 0.0), up)
+    proj = ortho(-radius, radius, -radius, radius, 0.0, 8 * radius)
+    pv_rel = (proj.astype(np.float64) @ view_rel.astype(np.float64)).astype(
+        np.float32
+    )
+
+    right = np.cross(ldir64, up)
+    right /= np.linalg.norm(right)
+    upv = np.cross(right, ldir64)
+    xs = ((np.arange(W) + 0.5) / W - 0.5) * 2 * radius
+    ys = (0.5 - (np.arange(H) + 0.5) / H) * 2 * radius
+    xx, yy = np.meshgrid(xs, ys)
+    origins_rel = (
+        plane_rel[None, None]
+        + xx[..., None] * right[None, None]
+        + yy[..., None] * upv[None, None]
+    ).reshape(-1, 3).astype(np.float32)
+    dirs = np.broadcast_to(
+        ldir64.astype(np.float32), origins_rel.shape
+    ).copy()
+    return origins_rel, dirs, pv_rel, (extent * 0.5).astype(np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "tile", "max_steps"))
@@ -198,6 +243,12 @@ def render_shadowmap(
     the directional light over the world bounds, storing along-ray ortho
     depth (ndc z).  Returns (depth f32[H,W], light_vp f32[4,4]).
 
+    ``max_steps`` defaults to 512 — deliberately aligned with the screen
+    pass's RenderConfig.max_steps default rather than the march's own
+    MAX_STEPS=640 (ADVICE r4): both passes of a frame share one step
+    budget, and render()/render_frame() forward cfg.max_steps here so
+    raising the screen budget raises the light pass's reach with it.
+
     Everything that depends on ``world.chunkcoordmin`` (a device array on a
     resident world) is computed in jnp INSIDE _shadowmap_device: the ray
     bundle and view matrix are built in a world-CENTER-RELATIVE frame from
@@ -232,43 +283,20 @@ def render_shadowmap(
     key = (ldir64.tobytes(), H, W, (w, h, d), float(cs), float(margin))
     cached = None if device_dir else _shadow_bundle_cache.get(key)
     if cached is None:
-        extent = np.array([w, h, d], dtype=np.float64) * cs
-        radius = float(np.linalg.norm(extent) * 0.5 * margin)
-
-        # Ortho ray bundle along the light direction in the center-relative
-        # frame: the emitter plane sits behind the world so every ray
-        # crosses it.
-        plane_rel = -ldir64 * (2.0 * radius)
-        up = np.array([0.0, 1.0, 0.0])
-        if abs(np.dot(ldir64, up)) > 0.99:
-            up = np.array([0.0, 0.0, 1.0])
-        view_rel = look_at(plane_rel, (0.0, 0.0, 0.0), up)
-        proj = ortho(-radius, radius, -radius, radius, 0.0, 8 * radius)
-        pv_rel = (proj.astype(np.float64) @ view_rel.astype(np.float64)).astype(
-            np.float32
+        origins_rel, dirs, pv_rel, extent_half = shadow_bundle(
+            ldir64, H, W, (w, h, d), cs, margin
         )
-
-        right = np.cross(ldir64, up)
-        right /= np.linalg.norm(right)
-        upv = np.cross(right, ldir64)
-        xs = ((np.arange(W) + 0.5) / W - 0.5) * 2 * radius
-        ys = (0.5 - (np.arange(H) + 0.5) / H) * 2 * radius
-        xx, yy = np.meshgrid(xs, ys)
-        origins_rel = (
-            plane_rel[None, None]
-            + xx[..., None] * right[None, None]
-            + yy[..., None] * upv[None, None]
-        ).reshape(-1, 3).astype(np.float32)
-        dirs = np.broadcast_to(
-            ldir64.astype(np.float32), origins_rel.shape
-        ).copy()
         cached = (
             jnp.asarray(origins_rel),
             jnp.asarray(dirs),
             jnp.asarray(pv_rel),
-            jnp.asarray((extent * 0.5).astype(np.float32)),
+            jnp.asarray(extent_half),
         )
         if not device_dir:
+            while len(_shadow_bundle_cache) >= _SHADOW_CACHE_MAX:
+                # drop the oldest entry (insertion order = LRU here: a
+                # frame loop re-creates, not re-touches, stale directions)
+                _shadow_bundle_cache.pop(next(iter(_shadow_bundle_cache)))
             _shadow_bundle_cache[key] = cached
 
     origins_rel, dirs, pv_rel, extent_half = cached
@@ -341,7 +369,8 @@ def render(
         shadow_factor = ray_shadow(world, res, p, n, lights, cfg)
     elif cfg.shadow == "map":
         if shadowmap is None:
-            shadowmap = render_shadowmap(world, lights)
+            shadowmap = render_shadowmap(world, lights,
+                                         max_steps=cfg.max_steps)
         depth_map, vp = shadowmap
         a = jnp.asarray(origins, dtype=jnp.float32)
         b = jnp.asarray(dirs, dtype=jnp.float32)
@@ -362,6 +391,44 @@ def _render_tile(world, o, d, eye, lights, materials, cfg, atlas, shadowmap,
                  envmap):
     return render(world, o, d, eye, lights, materials, cfg, atlas, shadowmap,
                   envmap)
+
+
+@jax.jit
+def _compact_shadow_prep(res, origins, dirs, lights):
+    """Hit points + outward offset + liveness for the compact shadow-ray
+    march (the same formulas render()'s ray path uses)."""
+    a = jnp.asarray(origins, dtype=jnp.float32)
+    b = jnp.asarray(dirs, dtype=jnp.float32)
+    t_hit = jnp.where(res.hit, res.t, jnp.float32(0.0))
+    p = a + b * (t_hit - jnp.float32(EPS))[:, None]
+    n = cube_normal(p, res.cell_bmin, res.cell_bmin + res.cell_size[:, None])
+    ldir = -lights.directional.direction
+    ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir), 1e-12)
+    start = p + n * jnp.float32(4 * EPS)
+    return start, jnp.broadcast_to(ldir, start.shape), res.hit.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "shadow_kind"))
+def _shade_frame(world, res, o, d, eye, lights, materials, cfg, atlas,
+                 shadowmap, envmap, shadow_hit, shadow_kind):
+    """Shade a full-frame MarchResult in ONE executable (the compact
+    schedule's loop-free epilogue): shadow factor + shade_hits.
+    ``shadow_kind``: "none" | "map" (project against the shadowmap here) |
+    "ray" (``shadow_hit`` carries the shadow march's hit mask)."""
+    shadow_factor = None
+    if shadow_kind == "map":
+        depth_map, vp = shadowmap
+        a = jnp.asarray(o, dtype=jnp.float32)
+        b = jnp.asarray(d, dtype=jnp.float32)
+        t_hit = jnp.where(res.hit, res.t, jnp.float32(0.0))
+        p = a + b * (t_hit - jnp.float32(EPS))[:, None]
+        shadow_factor = map_shadow(
+            p, depth_map, vp, cfg.shadow_bias
+        ) * res.hit.astype(jnp.float32)
+    elif shadow_kind == "ray":
+        shadow_factor = (res.hit & shadow_hit).astype(jnp.float32)
+    return shade_hits(res, o, d, eye, lights, materials, cfg, shadow_factor,
+                      atlas, envmap)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile"))
@@ -399,12 +466,20 @@ def render_frame(
     tile: int = 65536,
     envmap=None,
     fused: bool = False,
+    compact: bool = False,
+    compact_stride: int = 16,
+    compact_schedule=None,
 ):
     """Full-frame render, host-tiled: per-tile executables dispatched
     asynchronously from the host over the ray batch (``fused=False``), or
     the whole frame as ONE executable with the same internally-unrolled
     tiling (``fused=True`` — one launch per frame; first call compiles a
-    bigger program).
+    bigger program), or the stage-compacted march schedule
+    (``compact=True`` — ~len(schedule)+3 launches per frame, ~3x fewer
+    executed march lanes at 1080p; ops/march_compact.py).  The compact
+    path returns the identical AOV dict (goldens assert it) plus a
+    ``"lane_iters"`` device-scalar entry with its executed-lane cost; its
+    ``steps`` AOV carries coarse (stage-quantized) counts.
 
     This is the fast path for big frames.  `render()` under jit tiles with
     lax.map, but nesting the march while_loop inside a scan re-serializes
@@ -421,7 +496,31 @@ def render_frame(
 
     shadowmap = None
     if cfg.shadow == "map":
-        shadowmap = render_shadowmap(world, lights)
+        shadowmap = render_shadowmap(world, lights, max_steps=cfg.max_steps)
+
+    if compact:
+        from ..ops.march_compact import march_frame_compact
+
+        res, lane_iters = march_frame_compact(
+            world, o, d, cfg.max_steps, tile=tile, stride=compact_stride,
+            assume_resident=cfg.assume_resident, schedule=compact_schedule,
+        )
+        shadow_hit = res.hit  # placeholder; only read by the "ray" branch
+        if cfg.shadow == "ray":
+            start, ldirs, live = _compact_shadow_prep(res, o, d, lights)
+            sres, shadow_iters = march_frame_compact(
+                world, start, ldirs, cfg.max_steps, tile=tile,
+                stride=compact_stride,
+                assume_resident=cfg.assume_resident, live_start=live,
+                schedule=compact_schedule,
+            )
+            shadow_hit = sres.hit
+            lane_iters = lane_iters + shadow_iters
+        out = _shade_frame(world, res, o, d, eye, lights, materials, cfg,
+                           atlas, shadowmap, envmap, shadow_hit, cfg.shadow)
+        out = {k: v for k, v in out.items()}
+        out["lane_iters"] = lane_iters
+        return out
 
     # Tiles march their whole batch in one while loop (tile=0) — the frame
     # is already split here, and an inner lax.map would hit the slow path.
@@ -453,6 +552,7 @@ __all__ = [
     "render",
     "render_frame",
     "render_shadowmap",
+    "shadow_bundle",
     "map_shadow",
     "ray_shadow",
     "shade_hits",

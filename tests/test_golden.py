@@ -161,6 +161,61 @@ def test_golden_render_frame_fused(scene):
     _check("mapshadow_2x1x2_d5", _thumb(out["rgb"], 54, 96))
 
 
+def test_golden_render_frame_compact(scene):
+    """The stage-compacted frame path (render_frame(compact=True) —
+    VERDICT r4 #1) reproduces the SAME goldens as render() for every
+    shadow mode: the compact march is bit-identical, so the shaded frame
+    must be too."""
+    import jax.numpy as jnp
+
+    from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
+    from octree_raymarcher_tpu.shade.render import RenderConfig, render_frame
+
+    _, dev = scene
+    cam = PerspectiveCamera(position=(32.0, 30.0, -20.0), yaw_deg=0.0,
+                            pitch_deg=-20.0, fov_deg=70.0, width=96, height=54)
+    o, d = cam.rays()
+    for shadow, golden in (("none", "plain_2x1x2_d5"),
+                           ("ray", "rayshadow_2x1x2_d5"),
+                           ("map", "mapshadow_2x1x2_d5")):
+        out = render_frame(dev, jnp.asarray(o), jnp.asarray(d),
+                           jnp.asarray(cam.position, dtype=jnp.float32),
+                           cfg=RenderConfig(shadow=shadow), tile=1024,
+                           compact=True)
+        assert int(out["lane_iters"]) > 0
+        _check(golden, _thumb(out["rgb"], 54, 96))
+
+
+def test_compact_frame_rgb_matches_plain_per_pixel(scene):
+    """Stronger than the thumbnail golden: the compact frame matches the
+    plain render() pixel for pixel.  The MARCH outputs (hit) are
+    bit-identical; rgb/depth run the same shade formulas but inside one
+    fused executable, where XLA contracts mul+add chains into fmas that
+    the eager path rounds separately — so those compare at ulp tolerance
+    (same effect measured in the sampler, diff/segments.py _extract_jit)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
+    from octree_raymarcher_tpu.shade.render import RenderConfig, render, render_frame
+
+    _, dev = scene
+    cam = PerspectiveCamera(position=(32.0, 30.0, -20.0), yaw_deg=0.0,
+                            pitch_deg=-20.0, fov_deg=70.0, width=64, height=36)
+    o, d = cam.rays()
+    eye = jnp.asarray(cam.position, dtype=jnp.float32)
+    cfg = RenderConfig(shadow="ray")
+    ref = render(dev, jnp.asarray(o), jnp.asarray(d), eye, cfg=cfg)
+    got = render_frame(dev, jnp.asarray(o), jnp.asarray(d), eye, cfg=cfg,
+                       tile=512, compact=True)
+    np.testing.assert_array_equal(np.asarray(got["hit"]), np.asarray(ref["hit"]))
+    np.testing.assert_allclose(np.asarray(got["rgb"]), np.asarray(ref["rgb"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["depth"]),
+                               np.asarray(ref["depth"]), rtol=1e-5, atol=1e-6)
+
+
 def test_golden_textured_envmap(scene):
     """Textured (procedural atlas) + environment-map render is pinned —
     the reference's PNG-atlas + skybox frame (Atlas.cpp:29, Skybox.cpp:84)."""
