@@ -54,6 +54,45 @@ def num_param_slots(world: DeviceWorld, num_materials: int = 8) -> int:
     return int(world.twig.shape[0]) + num_materials
 
 
+def _segment_from_hit(a, b, g, hitm, t, cell_bmin, cell_size, texel,
+                      material, twig_slots, num_materials):
+    """One phase's segment extraction from a first-hit record: the escape
+    of the hit box (texel box inside twigs, else the cell box), the param
+    slot, and the next phase's cursor.  Shared by sample_segments and the
+    stage-compacted sampler (diff/segments_compact.py) so the two cannot
+    drift.  Returns (slot, t0, t1w, t_next, hi) where t1w/t_next are
+    zeroed/reset for non-hit rays exactly as the original phase body
+    did."""
+    hi = hitm.astype(jnp.int32)
+    t_hit = jnp.where(hitm, t, 0.0)
+    p = a + b * t_hit[:, None]
+    esc = escape_distance(p, g, cell_bmin, cell_bmin + cell_size[:, None])
+    t1 = t_hit + esc
+    slot = jnp.where(
+        hitm,
+        jnp.where(
+            texel >= 0,
+            texel,
+            twig_slots + jnp.clip(material, 0, num_materials - 1),
+        ),
+        -1,
+    ).astype(jnp.int32)
+    t_next = jnp.where(hitm, t1 + jnp.float32(EPS), 0.0)
+    return slot, t_hit, jnp.where(hitm, t1, 0.0), t_next, hi
+
+
+# ONE compiled executable for the extraction, shared by both samplers.
+# XLA contracts `a + b*t` into an fma inside a fused program but not in
+# op-by-op eager execution (measured 7e-8 rel drift on CPU — and an
+# optimization_barrier does NOT stop the LLVM-level contraction), and the
+# drifted t1 feeds the NEXT phase's resume parameter, so samplers running
+# the formula in different fusion contexts could structurally diverge at
+# cell boundaries.  Routing every caller through this one jit makes the
+# rounding identical by construction (the compact sampler calls it as a
+# top-level launch; under an enclosing jit it inlines).
+_extract_jit = jax.jit(_segment_from_hit, static_argnums=(9, 10))
+
+
 def sample_segments(
     world: DeviceWorld,
     origins,
@@ -114,30 +153,19 @@ def sample_segments(
                     step_budget=remaining, steps_stride=steps_stride)
         if remaining is not None:
             remaining = remaining - res.steps
-        hitm = res.hit
-        hi = hitm.astype(jnp.int32)
-        t_hit = jnp.where(hitm, res.t, 0.0)
-        p = a + b * t_hit[:, None]
-        # Escape of the hit box (texel box inside twigs, else the cell box):
-        # same formula the one-loop sampler used, so t1/cursor agree exactly.
-        esc = escape_distance(
-            p, g, res.cell_bmin, res.cell_bmin + res.cell_size[:, None]
+        # Escape of the hit box (texel box inside twigs, else the cell
+        # box): same formula the one-loop sampler used, so t1/cursor agree
+        # exactly (shared with the compacted sampler via _extract_jit —
+        # the ONE compiled extraction, see its comment).
+        slot, t_hit, t1w, t_next, hi = _extract_jit(
+            a, b, g, res.hit, res.t, res.cell_bmin, res.cell_size,
+            res.texel, res.material, twig_slots, num_materials,
         )
-        t1 = t_hit + esc
-        slot = jnp.where(
-            hitm,
-            jnp.where(
-                res.texel >= 0,
-                res.texel,
-                twig_slots + jnp.clip(res.material, 0, num_materials - 1),
-            ),
-            -1,
-        )
-        slots.append(slot.astype(jnp.int32))
+        slots.append(slot)
         t0s.append(t_hit)
-        t1s.append(jnp.where(hitm, t1, 0.0))
+        t1s.append(t1w)
         count = count + hi
-        t_cur = jnp.where(hitm, t1 + eps, 0.0)
+        t_cur = t_next
         live = hi
     return SegmentBatch(
         slot=jnp.stack(slots, axis=1),
