@@ -20,6 +20,18 @@ Protocol:
     of the loss history — an honest upper bound (block_until_ready is not
     an execution fence through the axon tunnel; docs/PERF_NOTES.md r4).
 
+Round-5 hardening (VERDICT r4 #8): the artifact records platform/device/
+jax version, and two env knobs raise the bar beyond the well-posed warm
+start:
+  * FIT_INIT=scratch — random start carrying NO ground-truth information
+    (uniform low density + noise, random albedo) instead of the default
+    GT perturbation (FIT_INIT=perturb);
+  * FIT_TARGETS=hard — targets rendered by the HARD renderer (first-hit
+    march -> material diffuse color, sky on miss: the binary limit of the
+    soft model), so the fit must close the soft-vs-hard model gap too.
+FIT_OUT names the output JSON (default bench_fit_result.json), so the
+scratch/hard run commits as a second record next to the standard one.
+
 Run alone on the TPU:  python bench_fit.py
 Env: FIT_STEPS (default 200), FIT_RES (default 256), FIT_VIEWS (8),
 FIT_SEED (0), FIT_PLATFORM=cpu for a small smoke run (FIT_RES<=64 advised).
@@ -66,6 +78,9 @@ def main():
     res = int(os.environ.get("FIT_RES", "256"))
     n_views = int(os.environ.get("FIT_VIEWS", "8"))
     seed = int(os.environ.get("FIT_SEED", "0"))
+    init_mode = os.environ.get("FIT_INIT", "perturb")
+    target_mode = os.environ.get("FIT_TARGETS", "soft")
+    out_name = os.environ.get("FIT_OUT", "bench_fit_result.json")
     K = 32
 
     t_all = time.time()
@@ -93,24 +108,53 @@ def main():
             fov_deg=60.0, width=res, height=res,
         ))
 
-    # Ground truth + targets (soft render under GT params).
+    # Ground truth + targets: soft render under GT params (default), or
+    # the HARD renderer's binary limit (first-hit material diffuse + sky)
+    # so the fit must also close the soft-vs-hard model gap.
     gt = init_params_from_world(dev, solid_density=40.0)
     views = []
-    note(f"rendering {n_views} target views at {res}x{res}")
+    note(f"rendering {n_views} {target_mode} target views at {res}x{res}")
+    sky = jnp.asarray((0.45, 0.65, 0.95), dtype=jnp.float32)
+    if target_mode == "hard":
+        from octree_raymarcher_tpu.ops.march_jnp import march_frame
+        from octree_raymarcher_tpu.shade.materials import MaterialTable
+
+        diffuse = jnp.asarray(MaterialTable.default().diffuse,
+                              dtype=jnp.float32)
+
+        @jax.jit
+        def hard_target(w_, o_, d_):
+            r = march_frame(w_, o_, d_, max_steps=512)
+            mi = jnp.clip(r.material, 0, diffuse.shape[0] - 1)
+            col = jnp.stack([diffuse[:, 0][mi], diffuse[:, 1][mi],
+                             diffuse[:, 2][mi]], axis=-1)
+            return jnp.where(r.hit[:, None], col, sky)
     for cam in cams:
         o, d = cam.rays()
         o, d = jnp.asarray(o), jnp.asarray(d)
-        target = render_soft(dev, gt, o, d, max_segments=K)["rgb"]
+        if target_mode == "hard":
+            target = hard_target(dev, o, d)
+        else:
+            target = render_soft(dev, gt, o, d, max_segments=K)["rgb"]
         views.append((o, d, jax.lax.stop_gradient(target)))
     jax.block_until_ready(views[-1][2])
 
-    # Perturbed start: albedo re-randomized, solids half-ghosted.
     k0, k1 = jax.random.split(jax.random.PRNGKey(seed))
-    start = gt.replace(
-        albedo_raw=1.5 * jax.random.normal(k0, gt.albedo_raw.shape),
-        density_raw=gt.density_raw - 3.0
-        + 0.1 * jax.random.normal(k1, gt.density_raw.shape),
-    )
+    if init_mode == "scratch":
+        # From-scratch start: NO ground-truth information — uniform low
+        # density (everything nearly transparent) + noise, random albedo.
+        start = gt.replace(
+            albedo_raw=1.5 * jax.random.normal(k0, gt.albedo_raw.shape),
+            density_raw=jnp.float32(-3.0)
+            + 0.1 * jax.random.normal(k1, gt.density_raw.shape),
+        )
+    else:
+        # Perturbed start: albedo re-randomized, solids half-ghosted.
+        start = gt.replace(
+            albedo_raw=1.5 * jax.random.normal(k0, gt.albedo_raw.shape),
+            density_raw=gt.density_raw - 3.0
+            + 0.1 * jax.random.normal(k1, gt.density_raw.shape),
+        )
 
     note(f"fitting: {steps} Adam steps over {n_views} views "
          f"({res*res*n_views} rays, {int(gt.density_raw.shape[0])} slots)")
@@ -128,11 +172,13 @@ def main():
         mse = float(jnp.mean((out - target) ** 2))
         psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))
         if i == 0:
+            stem = out_name[:-5] if out_name.endswith(".json") else out_name
+            stem = stem.replace("_result", "")
             img = np.clip(np.asarray(out).reshape(res, res, 3), 0, 1)
             tgt = np.clip(np.asarray(target).reshape(res, res, 3), 0, 1)
-            save_png(os.path.join(HERE, "bench_fit_view0.png"),
+            save_png(os.path.join(HERE, f"{stem}_view0.png"),
                      (img * 255).astype(np.uint8))
-            save_png(os.path.join(HERE, "bench_fit_target0.png"),
+            save_png(os.path.join(HERE, f"{stem}_target0.png"),
                      (tgt * 255).astype(np.uint8))
     psnr_mean = float(np.mean(psnrs))
 
@@ -156,18 +202,22 @@ def main():
         "loss_first": history[0],
         "loss_last": history[-1],
         "loss_curve": [round(v, 6) for v in history[:: max(1, steps // 50)]],
+        "init": init_mode,
+        "targets": target_mode,
+        "platform": jax.devices()[0].platform,
         "device": jax.devices()[0].device_kind,
+        "jax_version": jax.__version__,
         "target": ">=25 dB (BASELINE config 3)",
     }
-    tmp = os.path.join(HERE, "bench_fit_result.json.tmp")
+    tmp = os.path.join(HERE, out_name + ".tmp")
     with open(tmp, "w") as f:
         json.dump(result, f, indent=1)
-    os.replace(tmp, os.path.join(HERE, "bench_fit_result.json"))
+    os.replace(tmp, os.path.join(HERE, out_name))
     print(json.dumps({k: result[k] for k in
                       ("metric", "value", "unit", "psnr_start_db", "steps",
                        "fit_wall_s")}))
-    note(f"total wall {time.time()-t_all:.1f}s; wrote bench_fit_result.json "
-         f"+ bench_fit_view0.png")
+    note(f"total wall {time.time()-t_all:.1f}s; wrote {out_name} "
+         f"+ fitted/target view-0 PNGs")
 
 
 if __name__ == "__main__":

@@ -29,18 +29,22 @@ def save_png(path: str, rgb01: np.ndarray) -> None:
         np.save(path + ".npy", arr)
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--out", default="demo_out")
     ap.add_argument("--res", default="320x180")
     ap.add_argument("--dims", default="2x2x2")
     ap.add_argument("--depth", type=int, default=6)
-    args = ap.parse_args()
+    ap.add_argument("--platform", default="default", choices=("default", "cpu"))
+    args = ap.parse_args(argv)
     width, height = (int(v) for v in args.res.split("x"))
     dims = tuple(int(v) for v in args.dims.split("x"))
 
     import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
