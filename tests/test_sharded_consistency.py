@@ -47,6 +47,69 @@ def test_sharded_render_matches_single_after_edits():
     )
 
 
+def test_fused_frame_matches_sharded_render():
+    """The one-executable fused frame (what bench ships) agrees with the
+    8-device sharded render on the same rays (VERDICT r4 #7)."""
+    from octree_raymarcher_tpu.shade.render import render_frame
+
+    w = World.generate(dims=(2, 1, 2), chunksize=32.0, depth=5, seed=9,
+                       water_level=4.0, amplitude=16.0)
+    _, dev = w.to_device()
+    dev = jax.tree_util.tree_map(jnp.asarray, dev)
+
+    cam = PerspectiveCamera(position=(32.0, 28.0, -16.0), pitch_deg=-25.0,
+                            fov_deg=70.0, width=64, height=40)
+    origins, dirs = cam.rays()
+    eye = (32.0, 28.0, -16.0)
+    cfg = RenderConfig(shadow="none", max_steps=256)
+
+    fused = render_frame(dev, jnp.asarray(origins), jnp.asarray(dirs),
+                         jnp.asarray(eye, dtype=jnp.float32), cfg=cfg,
+                         tile=512, fused=True)["rgb"]
+
+    mesh = make_mesh(jax.devices()[:8])
+    o, d, n = pad_rays(origins, dirs, 8)
+    sharded = render_sharded(mesh, dev, jnp.asarray(o), jnp.asarray(d), eye,
+                             cfg=cfg)[:n]
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(sharded),
+                               atol=1e-5)
+
+
+def test_compact_march_sharded_matches_plain_sharded():
+    """Per-device stage compaction preserves every ray's walk: the
+    sharded compact march equals march_sharded bit for bit, and each
+    device reports its own executed-lane cost (VERDICT r4 weak #5)."""
+    from octree_raymarcher_tpu.parallel.render_sharded import (
+        march_sharded,
+        march_sharded_compact,
+    )
+
+    w = World.generate(dims=(2, 1, 2), chunksize=32.0, depth=5, seed=9,
+                       water_level=4.0, amplitude=16.0)
+    _, dev = w.to_device()
+    dev = jax.tree_util.tree_map(jnp.asarray, dev)
+
+    cam = PerspectiveCamera(position=(32.0, 28.0, -16.0), pitch_deg=-25.0,
+                            fov_deg=70.0, width=64, height=40)
+    origins, dirs = cam.rays()
+    o, d, n = pad_rays(origins, dirs, 8)
+    mesh = make_mesh(jax.devices()[:8])
+
+    hit0, t0, mat0 = march_sharded(mesh, dev, o, d, max_steps=128)
+    hit1, t1, mat1, executed = march_sharded_compact(
+        mesh, dev, o, d, max_steps=128, tile=64,
+    )
+    np.testing.assert_array_equal(np.asarray(hit0), np.asarray(hit1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(mat0), np.asarray(mat1))
+    ex = np.asarray(executed)
+    assert ex.shape == (8,)
+    assert (ex > 0).all()
+    # the per-device lane costs are the utilization-imbalance signal: on a
+    # screen-tiled frame at least two devices should differ
+    assert len(set(ex.tolist())) > 1, ex
+
+
 def _small_training_setup():
     import optax
 
