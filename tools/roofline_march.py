@@ -49,8 +49,9 @@ import time
 import numpy as np
 
 STRIDE = 16
-MAX_STEPS = 512
-TILE = 65536
+MAX_STEPS = int(os.environ.get("ROOFLINE_MAX_STEPS", "512"))
+TILE = int(os.environ.get("ROOFLINE_TILE", "65536"))
+SMOKE = os.environ.get("ROOFLINE_SMOKE", "0") == "1"  # tiny world+rays on CPU
 
 
 def note(msg):
@@ -118,6 +119,14 @@ def _camera_rays():
     from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
     from octree_raymarcher_tpu.shade.tiling import block_permutation
 
+    if SMOKE:
+        cam = PerspectiveCamera(
+            position=(32.0, 24.0, -16.0), yaw_deg=0.0, pitch_deg=-15.0,
+            fov_deg=80.0, width=128, height=72,
+        )
+        origins, dirs = cam.rays()
+        perm, _ = block_permutation(cam.height, cam.width, 8)
+        return jnp.asarray(origins[perm]), jnp.asarray(dirs[perm])
     cam = PerspectiveCamera(
         position=(256.0, 90.0, -80.0), yaw_deg=0.0, pitch_deg=-12.0,
         fov_deg=80.0, width=1920, height=1080,
@@ -195,8 +204,12 @@ def leg_camera_dispatch(world, origins, dirs):
     gm = synthetic_loop_rate(TILE, depth + 1, 3, pool_elems, 256)
 
     note("dispatching coarse steps AOV")
+    import jax.numpy as jnp
+
     steps_parts, _, _ = _coarse_steps_tiled(world, origins, dirs)
-    return dict(dt_march=dt_march, g1=g1, gm=gm, steps_parts=steps_parts,
+    # ONE device array -> ONE readback-materialization later
+    steps_dev = jnp.concatenate(steps_parts)
+    return dict(dt_march=dt_march, g1=g1, gm=gm, steps_dev=steps_dev,
                 depth=depth, n_rays=n_rays)
 
 
@@ -240,8 +253,9 @@ def leg_shadow_dispatch(world, world_host):
     # device copy) — the exact translation _shadowmap_device applies.
     cs = float(world_host.chunksize)
     lo = np.asarray(world_host.chunkcoordmin, dtype=np.float64) * cs
+    res = 64 if SMOKE else 512
     origins_rel, dirs, _, extent_half = shadow_bundle(
-        np.asarray(rig.directional.direction, np.float64), 512, 512,
+        np.asarray(rig.directional.direction, np.float64), res, res,
         world_host.dims, cs,
     )
     center = lo + np.asarray(extent_half, np.float64)
@@ -324,7 +338,17 @@ def leg_sampler_dispatch(world, origins, dirs):
         world, origins, dirs, max_segments=K, max_steps=MAX_STEPS,
         tile=tile, stride=STRIDE, assume_resident=True,
     )
-    return dict(K=K, n=n, per_phase=per_phase, comp_exec=comp_exec)
+    # stack all the accounting scalars into TWO device arrays so finalize
+    # pays two readback-materializations, not ~4K
+    per_phase_dev = jnp.stack(
+        [jnp.stack([p[0] for p in per_phase]),
+         jnp.stack([p[1] for p in per_phase]),
+         jnp.stack([p[2] for p in per_phase])],
+        axis=1,
+    )  # [K, 3] int32: executed, true, live
+    comp_exec_dev = jnp.stack(comp_exec)
+    return dict(K=K, n=n, per_phase_dev=per_phase_dev,
+                comp_exec_dev=comp_exec_dev)
 
 
 # ---------------------------------------------------------------------------
@@ -336,9 +360,7 @@ def finalize_camera(pend, out):
 
     n_rays = pend["n_rays"]
     note("readback: steps AOV")
-    steps = np.concatenate(
-        [np.asarray(jax.block_until_ready(p)) for p in pend["steps_parts"]]
-    )[:n_rays]
+    steps = np.asarray(jax.block_until_ready(pend["steps_dev"]))[:n_rays]
 
     def util_at(t):
         pad_ = (-n_rays) % t
@@ -453,16 +475,20 @@ def finalize_shadow(pend, out):
 
 
 def finalize_sampler(pend, out):
+    import jax
+
     note("readback: sampler per-phase scalars")
     n = pend["n"]
+    pp = np.asarray(jax.block_until_ready(pend["per_phase_dev"]))
+    comp = np.asarray(jax.block_until_ready(pend["comp_exec_dev"]))
     phases = []
     tot_ex = tot_tr = 0
-    for k, (ex, tr, lv) in enumerate(pend["per_phase"]):
-        ex, tr, lv = int(ex), int(tr), int(lv)
+    for k in range(pp.shape[0]):
+        ex, tr, lv = int(pp[k, 0]), int(pp[k, 1]), int(pp[k, 2])
         tot_ex += ex
         tot_tr += tr
         phases.append({"phase": k, "live": lv, "executed": ex, "true": tr})
-    comp_total = sum(int(v) for v in pend["comp_exec"])
+    comp_total = int(comp.astype(np.int64).sum())
     out["sampler"] = {
         "K": pend["K"],
         "rays": n,
@@ -500,16 +526,25 @@ def main():
 
     enable_persistent_cache()
 
-    from bench import build_world
-
     note("building world + rays")
-    world_host = build_world()
+    if SMOKE:
+        from octree_raymarcher_tpu.world.world import World
+
+        w = World.generate(dims=(2, 1, 2), chunksize=32.0, depth=5, seed=7,
+                           water_level=4.0, amplitude=16.0)
+        _, world_host = w.to_device()
+    else:
+        from bench import build_world
+
+        world_host = build_world()
     world = jax.tree_util.tree_map(jnp.asarray, world_host)
     origins, dirs = _camera_rays()
     jax.block_until_ready(world.tree)
 
     path = os.path.join(os.path.dirname(__file__), "..",
                         "roofline_march.json")
+    if SMOKE:
+        path = "/tmp/roofline_smoke.json"
     out = {}
     if os.path.exists(path):
         with open(path) as f:
