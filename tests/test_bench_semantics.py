@@ -19,7 +19,6 @@ LABELED_ARTIFACTS = {
     "bench_frame_modes.json": "dispatch",
     "bench_diff_baseline.json": "dispatch",
     "roofline_march.json": "dispatch",
-    "bench_compact.json": "dispatch",
     "bench_scaling_cpu.json": "",
 }
 SEMANTICS_KEYS = ("metric_semantics", "semantics")
