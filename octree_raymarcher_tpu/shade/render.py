@@ -235,9 +235,37 @@ def _shadowmap_device(world, origins_rel, dirs, pv_rel, extent_half,
     return depth.reshape(H, W), vp
 
 
+@jax.jit
+def _shadow_origins(world, origins_rel, extent_half):
+    """Absolute bundle origins: the center translation of
+    _shadowmap_device, as its own tiny executable (the compact shadow
+    path marches outside that fused body)."""
+    cs = jnp.float32(world.chunksize)
+    lo = world.chunkcoordmin.astype(jnp.float32) * cs
+    center = lo + extent_half
+    return origins_rel + center[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def _shadow_resolve(world, origins, dirs, hit, t, pv_rel, extent_half, H, W):
+    """Along-ray ndc-z depth resolve for a marched bundle — the exact
+    post-march math of _shadowmap_device."""
+    cs = jnp.float32(world.chunksize)
+    lo = world.chunkcoordmin.astype(jnp.float32) * cs
+    center = lo + extent_half
+    tmat = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(-center)
+    vp = pv_rel @ tmat
+    p = origins + dirs * jnp.where(hit, t, jnp.float32(FAR))[:, None]
+    ph = jnp.concatenate([p, jnp.ones_like(p[:, :1])], axis=-1)
+    zndc = (ph @ vp.T)[:, 2]
+    depth = jnp.where(hit, zndc, jnp.float32(1.0))
+    return depth.reshape(H, W), vp
+
+
 def render_shadowmap(
     world: DeviceWorld, lights: LightRig, resolution=(512, 512),
     margin: float = 1.1, tile: int = 65536, max_steps: int = 512,
+    compact: bool = False, compact_tile: int = 8192,
 ):
     """Depth-from-the-light pass (reference Main.cpp:190-198): ortho camera at
     the directional light over the world bounds, storing along-ray ortho
@@ -248,6 +276,14 @@ def render_shadowmap(
     MAX_STEPS=640 (ADVICE r4): both passes of a frame share one step
     budget, and render()/render_frame() forward cfg.max_steps here so
     raising the screen budget raises the light pass's reach with it.
+
+    ``compact=True`` marches the bundle with the stage-compacted schedule
+    at ``compact_tile`` (shadow rays are short — 1.9M true steps vs 30M
+    executed lanes uncompacted at 65536-ray tiles on the bench scene,
+    utilization 0.064; compaction + a finer tile attacks exactly that,
+    roofline_march.json shadow_pass) and returns (depth, vp,
+    executed_lane_iters).  Same depth map (march bit-identical; resolve
+    at fma-ulp).
 
     Everything that depends on ``world.chunkcoordmin`` (a device array on a
     resident world) is computed in jnp INSIDE _shadowmap_device: the ray
@@ -300,6 +336,17 @@ def render_shadowmap(
             _shadow_bundle_cache[key] = cached
 
     origins_rel, dirs, pv_rel, extent_half = cached
+    if compact:
+        from ..ops.march_compact import march_frame_compact
+
+        origins = _shadow_origins(world, origins_rel, extent_half)
+        res, executed = march_frame_compact(
+            world, origins, dirs, max_steps,
+            tile=min(compact_tile, H * W),
+        )
+        depth, vp = _shadow_resolve(world, origins, dirs, res.hit, res.t,
+                                    pv_rel, extent_half, H, W)
+        return depth, vp, executed
     return _shadowmap_device(world, origins_rel, dirs, pv_rel, extent_half,
                              H, W, min(tile, H * W), max_steps)
 

@@ -216,6 +216,45 @@ def test_compact_frame_rgb_matches_plain_per_pixel(scene):
                                np.asarray(ref["depth"]), rtol=1e-5, atol=1e-6)
 
 
+def test_compact_shadowmap_matches_plain(scene):
+    """render_shadowmap(compact=True): same depth map as the fused bundle
+    pass — the march is bit-identical, the resolve at fma-ulp — plus a
+    positive executed-lane count, and the map-shadow golden holds when the
+    screen pass projects against the compact map."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from octree_raymarcher_tpu.shade.camera import PerspectiveCamera
+    from octree_raymarcher_tpu.shade.lights import LightRig
+    from octree_raymarcher_tpu.shade.render import (
+        RenderConfig,
+        render,
+        render_shadowmap,
+    )
+
+    _, dev = scene
+    rig = LightRig.default()
+    d0, vp0 = render_shadowmap(dev, rig, resolution=(64, 64), max_steps=256)
+    d1, vp1, executed = render_shadowmap(dev, rig, resolution=(64, 64),
+                                         max_steps=256, compact=True,
+                                         compact_tile=512)
+    assert int(executed) > 0
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vp1), np.asarray(vp0),
+                               rtol=0, atol=0)
+
+    cam = PerspectiveCamera(position=(32.0, 30.0, -20.0), yaw_deg=0.0,
+                            pitch_deg=-20.0, fov_deg=70.0, width=96, height=54)
+    o, d = cam.rays()
+    dmap, vp, _ = render_shadowmap(dev, rig, compact=True)
+    out = render(dev, jnp.asarray(o), jnp.asarray(d),
+                 jnp.asarray(cam.position, dtype=jnp.float32),
+                 cfg=RenderConfig(shadow="map"), shadowmap=(dmap, vp))
+    _check("mapshadow_2x1x2_d5", _thumb(out["rgb"], 54, 96))
+
+
 def test_golden_textured_envmap(scene):
     """Textured (procedural atlas) + environment-map render is pinned —
     the reference's PNG-atlas + skybox frame (Atlas.cpp:29, Skybox.cpp:84)."""
