@@ -314,7 +314,11 @@ def main():
                 "unmeasurable in this environment — no completion fence "
                 "exists and readback-forced materialization runs ~10^4x "
                 "slow (measured 245 s/frame; docs/PERF_NOTES.md r4). "
-                "materialize_s, when present, is that end-to-end cost."),
+                "materialize_s, when present, is that end-to-end cost. "
+                "executed_lane_iters (compact modes) is device-COUNTED, "
+                "timing-free march work; full_frame_compact's count covers "
+                "the WHOLE frame — camera march + the compact shadow-map "
+                "bundle at its shipped tile."),
         }
         tmp = os.path.join(HERE, "bench_frame_modes.json.tmp")
         with open(tmp, "w") as f:

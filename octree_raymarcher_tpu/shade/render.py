@@ -528,6 +528,15 @@ def render_frame(
     ``"lane_iters"`` device-scalar entry with its executed-lane cost; its
     ``steps`` AOV carries coarse (stage-quantized) counts.
 
+    The compact path compacts EVERY march of the frame: with
+    ``cfg.shadow == "map"`` the light-depth pass runs through
+    ``render_shadowmap(compact=True)`` at its finer shipped tile (shadow
+    rays are short — 0.064 lane utilization uncompacted at 65536-ray
+    tiles, roofline_march.json shadow_pass), and with ``"ray"`` the
+    per-hit shadow march is stage-compacted too; ``"lane_iters"`` is
+    therefore the WHOLE frame's march cost (camera + shadow), matching
+    roofline_march.json's frame_total_lane_iters accounting.
+
     This is the fast path for big frames.  `render()` under jit tiles with
     lax.map, but nesting the march while_loop inside a scan re-serializes
     every pool gather (~90x on 1080p; docs/PERF_NOTES.md "the single-carry
@@ -542,8 +551,16 @@ def render_frame(
     eye = jnp.asarray(eye, dtype=jnp.float32)
 
     shadowmap = None
+    shadow_lanes = None
     if cfg.shadow == "map":
-        shadowmap = render_shadowmap(world, lights, max_steps=cfg.max_steps)
+        if compact:
+            depth_map, light_vp, shadow_lanes = render_shadowmap(
+                world, lights, max_steps=cfg.max_steps, compact=True,
+            )
+            shadowmap = (depth_map, light_vp)
+        else:
+            shadowmap = render_shadowmap(world, lights,
+                                         max_steps=cfg.max_steps)
 
     if compact:
         from ..ops.march_compact import march_frame_compact
@@ -563,6 +580,8 @@ def render_frame(
             )
             shadow_hit = sres.hit
             lane_iters = lane_iters + shadow_iters
+        if shadow_lanes is not None:
+            lane_iters = lane_iters + shadow_lanes
         out = _shade_frame(world, res, o, d, eye, lights, materials, cfg,
                            atlas, shadowmap, envmap, shadow_hit, cfg.shadow)
         out = {k: v for k, v in out.items()}

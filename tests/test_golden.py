@@ -175,6 +175,7 @@ def test_golden_render_frame_compact(scene):
     cam = PerspectiveCamera(position=(32.0, 30.0, -20.0), yaw_deg=0.0,
                             pitch_deg=-20.0, fov_deg=70.0, width=96, height=54)
     o, d = cam.rays()
+    lanes = {}
     for shadow, golden in (("none", "plain_2x1x2_d5"),
                            ("ray", "rayshadow_2x1x2_d5"),
                            ("map", "mapshadow_2x1x2_d5")):
@@ -182,8 +183,14 @@ def test_golden_render_frame_compact(scene):
                            jnp.asarray(cam.position, dtype=jnp.float32),
                            cfg=RenderConfig(shadow=shadow), tile=1024,
                            compact=True)
-        assert int(out["lane_iters"]) > 0
+        lanes[shadow] = int(out["lane_iters"])
+        assert lanes[shadow] > 0
         _check(golden, _thumb(out["rgb"], 54, 96))
+    # the compact path compacts EVERY march of the frame, and lane_iters is
+    # the WHOLE frame's cost: both shadow modes march more than camera-only
+    # (map = the compact 512^2 light-depth bundle, ray = per-hit rays)
+    assert lanes["map"] > lanes["none"]
+    assert lanes["ray"] > lanes["none"]
 
 
 def test_compact_frame_rgb_matches_plain_per_pixel(scene):

@@ -266,8 +266,16 @@ def leg_shadow_dispatch(world, world_host):
     _, executed_dev, true_dev = _coarse_steps_tiled(world, origins, dirs)
     _, comp_dev = march_frame_compact(world, origins, dirs, MAX_STEPS,
                                       tile=TILE, assume_resident=True)
+    # The SHIPPED compact shadow config (render_shadowmap compact_tile
+    # default): a finer tile attacks exactly the short-ray/long-grazer
+    # granularity waste the coarse-tile record shows (util 0.124 at 65536).
+    ship_tile = int(os.environ.get("SHADOW_COMPACT_TILE", "8192"))
+    ship_tile = min(ship_tile, int(origins.shape[0]))
+    _, ship_dev = march_frame_compact(world, origins, dirs, MAX_STEPS,
+                                      tile=ship_tile, assume_resident=True)
     return dict(rays=int(origins.shape[0]), executed=executed_dev,
-                true=true_dev, comp=comp_dev)
+                true=true_dev, comp=comp_dev, ship=ship_dev,
+                ship_tile=ship_tile)
 
 
 def leg_sampler_dispatch(world, origins, dirs):
@@ -462,14 +470,22 @@ def finalize_compact(pending, out):
 def finalize_shadow(pend, out):
     executed, true, comp = (int(pend["executed"]), int(pend["true"]),
                             int(pend["comp"]))
+    ship = int(pend["ship"])
     out["shadow_pass"] = {
         "rays": pend["rays"],
         "max_steps": MAX_STEPS,
         "executed_lane_iters_uncompacted": executed,
         "true_ray_steps": true,
         "lane_utilization_uncompacted": round(true / max(executed, 1), 3),
+        # compact at the camera march's tile (granularity-limited on a
+        # short-ray bundle) vs at the SHIPPED render_shadowmap compact
+        # tile — the config render_frame(compact=True) actually runs.
         "executed_lane_iters_compact": comp,
         "lane_utilization_compact": round(true / max(comp, 1), 3),
+        "compact_tile": TILE,
+        "shipped_compact_tile": pend["ship_tile"],
+        "executed_lane_iters_compact_shipped": ship,
+        "lane_utilization_compact_shipped": round(true / max(ship, 1), 3),
     }
     note(f"shadow: {json.dumps(out['shadow_pass'])}")
 
@@ -591,7 +607,12 @@ def main():
             "uncompacted": int(cam_un) + sh["executed_lane_iters_uncompacted"],
         }
         if cam_c:
-            total["compact"] = cam_c + sh["executed_lane_iters_compact"]
+            # shipped config = render_frame(compact=True): camera compact +
+            # the compact shadow map at its finer shipped tile (falls back
+            # to the camera-tile shadow record for pre-r5 JSONs).
+            sh_c = sh.get("executed_lane_iters_compact_shipped",
+                          sh["executed_lane_iters_compact"])
+            total["compact"] = cam_c + sh_c
             total["frame_lane_work_ratio"] = round(
                 total["uncompacted"] / total["compact"], 2)
         out["frame_total_lane_iters"] = total
