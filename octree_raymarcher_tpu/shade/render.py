@@ -205,9 +205,10 @@ def shadow_bundle(ldir64, H, W, dims, cs, margin: float = 1.1):
     return origins_rel, dirs, pv_rel, (extent * 0.5).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "tile", "max_steps"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "tile", "max_steps",
+                                             "assume_resident"))
 def _shadowmap_device(world, origins_rel, dirs, pv_rel, extent_half,
-                      H, W, tile, max_steps):
+                      H, W, tile, max_steps, assume_resident=False):
     """The entire device side of the shadow pass as ONE executable: world-
     center translation, the light-bundle march (host-style unrolled tiles —
     each while loop stays top-level in this jit body), and the along-ray
@@ -222,7 +223,8 @@ def _shadowmap_device(world, origins_rel, dirs, pv_rel, extent_half,
     n = origins.shape[0]
     hits, ts = [], []
     for i in range(0, n, tile):
-        res = march(world, origins[i:i + tile], dirs[i:i + tile], max_steps)
+        res = march(world, origins[i:i + tile], dirs[i:i + tile], max_steps,
+                    assume_resident=assume_resident)
         hits.append(res.hit)
         ts.append(res.t)
     hit = hits[0] if len(hits) == 1 else jnp.concatenate(hits)
@@ -266,6 +268,7 @@ def render_shadowmap(
     world: DeviceWorld, lights: LightRig, resolution=(512, 512),
     margin: float = 1.1, tile: int = 65536, max_steps: int = 512,
     compact: bool = False, compact_tile: int = 8192,
+    assume_resident: bool = False,
 ):
     """Depth-from-the-light pass (reference Main.cpp:190-198): ortho camera at
     the directional light over the world bounds, storing along-ray ortho
@@ -284,6 +287,11 @@ def render_shadowmap(
     roofline_march.json shadow_pass) and returns (depth, vp,
     executed_lane_iters).  Same depth map (march bit-identical; resolve
     at fma-ulp).
+
+    ``assume_resident`` forwards the static-world fast path to the bundle
+    march (~20% fewer in-loop gathers, bit-identical until a mid-shift()
+    chunk table; docs/PERF_NOTES.md r2) — render()/render_frame() pass
+    cfg.assume_resident, so the frame's two marches share the flag.
 
     Everything that depends on ``world.chunkcoordmin`` (a device array on a
     resident world) is computed in jnp INSIDE _shadowmap_device: the ray
@@ -343,12 +351,14 @@ def render_shadowmap(
         res, executed = march_frame_compact(
             world, origins, dirs, max_steps,
             tile=min(compact_tile, H * W),
+            assume_resident=assume_resident,
         )
         depth, vp = _shadow_resolve(world, origins, dirs, res.hit, res.t,
                                     pv_rel, extent_half, H, W)
         return depth, vp, executed
     return _shadowmap_device(world, origins_rel, dirs, pv_rel, extent_half,
-                             H, W, min(tile, H * W), max_steps)
+                             H, W, min(tile, H * W), max_steps,
+                             assume_resident)
 
 
 def map_shadow(points, shadow_depth, light_vp, bias_texels: float = 4.0):
@@ -416,8 +426,9 @@ def render(
         shadow_factor = ray_shadow(world, res, p, n, lights, cfg)
     elif cfg.shadow == "map":
         if shadowmap is None:
-            shadowmap = render_shadowmap(world, lights,
-                                         max_steps=cfg.max_steps)
+            shadowmap = render_shadowmap(
+                world, lights, max_steps=cfg.max_steps,
+                assume_resident=cfg.assume_resident)
         depth_map, vp = shadowmap
         a = jnp.asarray(origins, dtype=jnp.float32)
         b = jnp.asarray(dirs, dtype=jnp.float32)
@@ -556,11 +567,13 @@ def render_frame(
         if compact:
             depth_map, light_vp, shadow_lanes = render_shadowmap(
                 world, lights, max_steps=cfg.max_steps, compact=True,
+                assume_resident=cfg.assume_resident,
             )
             shadowmap = (depth_map, light_vp)
         else:
-            shadowmap = render_shadowmap(world, lights,
-                                         max_steps=cfg.max_steps)
+            shadowmap = render_shadowmap(
+                world, lights, max_steps=cfg.max_steps,
+                assume_resident=cfg.assume_resident)
 
     if compact:
         from ..ops.march_compact import march_frame_compact

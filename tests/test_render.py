@@ -97,6 +97,21 @@ def test_map_shadow_runs(dworld, cam_rays):
     assert np.isfinite(np.asarray(out["rgb"])).all()
 
 
+def test_shadowmap_assume_resident_bit_equal(dworld):
+    """The static-world fast path (skip per-step chunk-residency gathers)
+    must produce the bit-identical light-depth map on a resident world —
+    same guarantee test_march_tiled pins for the camera march, here for
+    the frame's OTHER march (render()/render_frame() forward
+    cfg.assume_resident to the shadow pass)."""
+    rig = LightRig.default()
+    d0, vp0 = render_shadowmap(dworld, rig, resolution=(64, 64),
+                               max_steps=256)
+    d1, vp1 = render_shadowmap(dworld, rig, resolution=(64, 64),
+                               max_steps=256, assume_resident=True)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(vp0), np.asarray(vp1))
+
+
 def test_map_shadow_matches_ray_shadow(dworld, cam_rays):
     """The projective shadow map must agree with the exact ray-marched
     shadow on most hit pixels (IoU), not merely run.  Guards the two bugs
