@@ -17,20 +17,35 @@ from .segments import sample_segments
 
 
 def sample_views(world, views, max_segments: int = 32, max_steps: int = 512,
-                 tile: int = 65536):
+                 tile: int = 65536, compact: bool = False):
     """views: list of (origins, dirs, target_rgb).  Pre-samples segments once
     (geometry is fixed during param optimization) so each step is pure
     compositing — the big TPU win of splitting geometry from appearance.
     Returns a pytree of (segments, target) pairs to PASS INTO the jitted
     step as an argument.  Views bigger than ``tile`` rays sample host-tiled
     (sample_segments_frame) so each tile's marches gate on local worst
-    rays."""
+    rays.
+
+    ``compact=True`` samples through the stage-compacted K-phase sampler
+    (diff/segments_compact.py) — segment-for-segment identical, 4.26x
+    less march lane work at 1080p (roofline_march.json sampler; the
+    sampler's live set shrinks every phase, the worst lockstep profile).
+    The sampling happens HERE, outside the jitted step, which is exactly
+    where the multi-launch compact schedule is usable."""
     from .segments import sample_segments_frame
+
+    if compact:
+        from .segments_compact import sample_segments_compact
 
     cached = []
     for origins, dirs, target in views:
-        segs = sample_segments_frame(world, origins, dirs, max_segments,
-                                     max_steps, tile=tile)
+        if compact:
+            segs, _ = sample_segments_compact(world, origins, dirs,
+                                              max_segments, max_steps,
+                                              tile=tile)
+        else:
+            segs = sample_segments_frame(world, origins, dirs, max_segments,
+                                         max_steps, tile=tile)
         cached.append((jax.lax.stop_gradient(segs), jnp.asarray(target)))
     return cached
 
@@ -65,9 +80,13 @@ def fit(
     steps: int = 100,
     lr: float = 0.05,
     max_segments: int = 32,
+    compact: bool = False,
 ):
-    """Run Adam on the photometric loss; returns (params, loss_history)."""
-    cached = sample_views(world, views, max_segments)
+    """Run Adam on the photometric loss; returns (params, loss_history).
+    ``compact=True`` pre-samples through the stage-compacted sampler
+    (identical segments, ~4x less geometry-pass march work — see
+    sample_views)."""
+    cached = sample_views(world, views, max_segments, compact=compact)
     opt = optax.adam(lr)
 
     @jax.jit

@@ -67,3 +67,38 @@ def test_compact_sampler_mixed_schedule(rng):
                                      schedule=(16, 16, 32, 64))
     np.testing.assert_array_equal(np.asarray(ref.slot), np.asarray(got.slot))
     np.testing.assert_array_equal(np.asarray(ref.t1), np.asarray(got.t1))
+
+
+def test_fit_with_compact_sampler_identical(rng):
+    """The shipped training surface: fit(compact=True) pre-samples through
+    the stage-compacted sampler and must produce the bit-identical loss
+    trajectory (same segments -> same compositing -> same Adam updates)."""
+    import jax.numpy as jnp
+
+    from octree_raymarcher_tpu.diff.composite import VoxelParams
+    from octree_raymarcher_tpu.diff.optim import fit, sample_views
+
+    dev = _world()
+    n = 300
+    o, d = _rays(rng, n)
+    target = np.clip(rng.uniform(0, 1, (n, 3)), 0, 1).astype(np.float32)
+    views = [(o, d, target)]
+
+    c0 = sample_views(dev, views, max_segments=4, max_steps=128, tile=128)
+    c1 = sample_views(dev, views, max_segments=4, max_steps=128, tile=128,
+                      compact=True)
+    for (s0, _), (s1, _) in zip(c0, c1):
+        np.testing.assert_array_equal(np.asarray(s0.slot), np.asarray(s1.slot))
+        np.testing.assert_array_equal(np.asarray(s0.t0), np.asarray(s1.t0))
+        np.testing.assert_array_equal(np.asarray(s0.t1), np.asarray(s1.t1))
+
+    slots = int(dev.twig.shape[0])
+    p0 = VoxelParams(
+        density=jnp.full((slots, 64), 2.0, jnp.float32),
+        albedo=jnp.full((slots, 64, 3), 0.5, jnp.float32),
+    )
+    _, h0 = fit(dev, views, p0, steps=3, max_segments=4)
+    _, h1 = fit(dev, views, p0, steps=3, max_segments=4, compact=True)
+    # fit() samples at its own defaults (max_steps 512, tile 65536); both
+    # samplers see the same rays, so histories must agree exactly
+    assert h0 == h1
